@@ -1,38 +1,675 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship tier-rollup pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL. The
+SQL-checkable operators run over a deterministic transcript-shaped view of
+the ``events`` table (see insar_spark.sources.events); UDF-based operators
+(SBAS solve, spline gap-fill, Gorilla round-trip) are covered by pytest
+numpy oracles instead and appear here without oracle SQL where noted.
+
+Float columns are rounded to 6 decimals on BOTH sides so the driver's
+value-hash is insensitive to summation-order ulp differences between
+engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insar_spark.operators import series as S
+from insar_spark.sources.events import SERIES_CTE, events_series, load
+
+SF0001 = "/root/testdata/sf0.001"
+
+_STOPWORDS = ("the", "a", "data", "row", "fast", "slow")
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+def _r(c, n: int = 6):
+    return F.round(c, n)
+
+
+# ---------------------------------------------------------------- flagship
+
+
+def _rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-0 rollup of the events-derived series: one shuffle, all stats
+    decomposable (A1/A2 semantics — insar/prepare.py:258-348)."""
+    t = events_series(spark, sf_dir)
+    return (
+        t.groupBy("conv_id", F.date_trunc("minute", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            _r(F.sum("v")).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.min_by("v", "ord").alias("first_v"),
+            F.max_by("v", "ord").alias("last_v"),
+        )
+    )
+
+
+def q_flagship_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rollup_1m(spark, sf_dir)
+
+
+_SQL_ROLLUP_1M = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       date_trunc('minute', ts)                              AS window_start,
+       count(*)                                              AS n_turns,
+       count(CASE WHEN event_type = 'error' THEN 1 END)      AS n_errors,
+       round(sum(v), 6)                                      AS sum_v,
+       min(v)                                                AS min_v,
+       max(v)                                                AS max_v,
+       arg_min(v, ord)                                       AS first_v,
+       arg_max(v, ord)                                       AS last_v
+FROM t GROUP BY 1, 2
+"""
+)
+
+
+def _cascade(rolled: DataFrame, unit: str) -> DataFrame:
+    """Exact fine→coarse reaggregation (the tier-cascade identity)."""
+    return (
+        rolled.withColumn("ord_first", F.col("window_start"))
+        .groupBy("conv_id", F.date_trunc(unit, "window_start").alias("window_start"))
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_errors").alias("n_errors"),
+            _r(F.sum("sum_v")).alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.min_by("first_v", "ord_first").alias("first_v"),
+            F.max_by("last_v", "ord_first").alias("last_v"),
+        )
+    )
+
+
+def q_rollup_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum_v at 1m is rounded to 6dp; re-rounding at 1h keeps parity with the
+    # oracle, which rolls raw → 1h directly (rounding error <= 1e-6 * groups,
+    # re-rounded at 6dp stays identical for these magnitudes)
+    return _cascade(_rollup_1m(spark, sf_dir).withColumn("sum_v", F.col("sum_v")), "hour")
+
+
+_SQL_ROLLUP_1H = _SQL_ROLLUP_1M.replace("date_trunc('minute', ts)", "date_trunc('hour', ts)")
+
+
+def q_rollup_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade(_cascade(_rollup_1m(spark, sf_dir), "hour"), "day")
+
+
+_SQL_ROLLUP_1D = _SQL_ROLLUP_1M.replace("date_trunc('minute', ts)", "date_trunc('day', ts)")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → series → 1m rollup → 1h cascade (sf0.001)."""
+    return q_rollup_cascade_1h(spark, SF0001)
+
+
+# ------------------------------------------------------- window operators
+
+
+def q_w1_turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    d = S.turn_deltas(t, "v")
+    return d.select(
+        "conv_id", "turn_idx", _r("delta_v").alias("delta_v"), _r("dt_sec").alias("dt_sec")
+    )
+
+
+_SQL_W1 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(v - lag(v) OVER w, 6) AS delta_v,
+       round((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0, 6) AS dt_sec
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+)
+
+
+def q_w2_cumsum_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    d = S.cumulative_reconstruct(S.turn_deltas(t, "v"))
+    return d.select("conv_id", "turn_idx", _r("recon_v").alias("recon_v"))
+
+
+_SQL_W2 = (
+    SERIES_CTE
+    + """
+, d AS (
+  SELECT conv_id, turn_idx, ts,
+         coalesce(v - lag(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx), 0) AS dv
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       round(sum(dv) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS recon_v
+FROM d
+"""
+)
+
+
+def q_w4_reference_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    return S.reference_align(t, "v").select(
+        "conv_id", "turn_idx", _r("v_aligned").alias("v_aligned")
+    )
+
+
+_SQL_W4 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(v - first_value(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_aligned
+FROM t
+"""
+)
+
+
+def q_w8_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir).withColumn(
+        "v_sparse", F.when(F.col("turn_idx") % 3 == 0, F.col("v"))
+    )
+    return S.ffill(t, "v_sparse").select(
+        "conv_id", "turn_idx", _r("v_sparse_ffill").alias("v_ffill")
+    )
+
+
+_SQL_W8 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(last_value(CASE WHEN turn_idx % 3 = 0 THEN v END IGNORE NULLS)
+             OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill
+FROM t
+"""
+)
+
+
+def q_w9_diff_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    return S.diff_k(t, "v", 3).select(
+        "conv_id", "turn_idx", _r("v_diff3").alias("v_diff3")
+    )
+
+
+_SQL_W9 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx, round(v - lag(v, 3) OVER w, 6) AS v_diff3
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+)
+
+
+def q_a12_rolling_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    return S.rolling_mean_time(t, "v", 3600).select(
+        "conv_id", "turn_idx", _r("v_roll").alias("v_roll")
+    )
+
+
+_SQL_A12 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(avg(v) OVER (PARTITION BY conv_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND INTERVAL 1 HOUR FOLLOWING), 6) AS v_roll
+FROM t
+"""
+)
+
+
+# ----------------------------------------------------------- pairs + filters
+
+
+def q_j1_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_series(spark, sf_dir)
+    p = S.adjacent_pairs(t, "v", k=1)
+    return p.select(
+        "conv_id", "early_idx", "late_idx", _r("delta_v").alias("delta_v")
+    )
+
+
+_SQL_J1 = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       turn_idx                 AS early_idx,
+       lead(turn_idx) OVER w    AS late_idx,
+       round(lead(v) OVER w - v, 6) AS delta_v
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+QUALIFY lead(turn_idx) OVER w IS NOT NULL
+"""
+)
+
+
+def q_f1_f3_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 date-range + F3 max-temporal-baseline on the pair network.
+
+    The date filter is applied to the raw scan (predicate pushdown into
+    parquet) BEFORE series derivation — turn indices are positions within
+    the filtered network, matching the reference's subset_A re-indexing
+    (insar/ts_numba.py:111-114)."""
+    t = events_series(
+        spark, sf_dir, ts_min="2024-01-08", ts_max="2024-02-20"
+    )
+    p = S.adjacent_pairs(t, "v", k=1)
+    dt = (F.unix_micros("late_ts") - F.unix_micros("early_ts")) / F.lit(1e6)
+    return p.withColumn("dt_sec", dt).filter(F.col("dt_sec") <= 1800).select(
+        "conv_id", "early_idx", "late_idx", _r("dt_sec").alias("dt_sec")
+    )
+
+
+_SQL_F1F3 = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER w - 1 AS int) AS turn_idx, ts, value AS v
+  FROM events
+  WHERE ts >= timestamp '2024-01-08' AND ts < timestamp '2024-02-20'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT * FROM (
+  SELECT conv_id, turn_idx AS early_idx, lead(turn_idx) OVER w2 AS late_idx,
+         round((lead(epoch_us(ts)) OVER w2 - epoch_us(ts)) / 1000000.0, 6) AS dt_sec
+  FROM t WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+) WHERE late_idx IS NOT NULL AND dt_sec <= 1800
+"""
+
+
+def q_f2_anti_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: drop every series on an ignore list (broadcast anti-join),
+    mirroring slclist_ignore.txt (insar/stackavg.py:170-187)."""
+    t = events_series(spark, sf_dir)
+    ignore = t.filter(F.col("v") > 990).select("conv_id").distinct()
+    kept = t.join(F.broadcast(ignore), "conv_id", "left_anti")
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), _r(F.sum("v")).alias("sum_v")
+    )
+
+
+_SQL_F2 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, count(*) AS n_turns, round(sum(v), 6) AS sum_v
+FROM t
+WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM t WHERE v > 990)
+GROUP BY conv_id
+"""
+)
+
+
+def q_f6_threshold_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: correlation-threshold zeroing (cor < thresh → 0) then aggregate
+    (insar/timeseries.py:432-435)."""
+    t = events_series(spark, sf_dir)
+    v0 = F.when(F.col("v") < 50, F.lit(0.0)).otherwise(F.col("v"))
+    return t.groupBy("event_type").agg(
+        _r(F.sum(v0)).alias("sum_v_thresh"),
+        F.count(F.when(F.col("v") < 50, 1)).alias("n_zeroed"),
+    )
+
+
+_SQL_F6 = (
+    SERIES_CTE
+    + """
+SELECT event_type,
+       round(sum(CASE WHEN v < 50 THEN 0.0 ELSE v END), 6) AS sum_v_thresh,
+       count(CASE WHEN v < 50 THEN 1 END)                  AS n_zeroed
+FROM t GROUP BY event_type
+"""
+)
+
+
+# ------------------------------------------------------------- aggregates
+
+
+def q_a1_stack_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: NaN-aware running sum/count → mean (insar/prepare.py:258-348)."""
+    t = events_series(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        F.count("v").alias("n"),
+        _r(F.sum("v")).alias("sum_v"),
+        _r(F.sum("v") / F.count("v")).alias("stack_avg"),
+    )
+
+
+_SQL_A1 = (
+    SERIES_CTE
+    + """
+SELECT event_type, count(v) AS n, round(sum(v), 6) AS sum_v,
+       round(sum(v) / count(v), 6) AS stack_avg
+FROM t GROUP BY event_type
+"""
+)
+
+
+def q_a2_short_baseline_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: conditional mean over short-baseline pairs only
+    (insar/prepare.py:443-487, baseline ≤ 180 → here dt ≤ 600 s)."""
+    t = events_series(spark, sf_dir)
+    d = S.turn_deltas(t, "v")
+    return d.groupBy("conv_id").agg(
+        _r(F.avg(F.when(F.col("dt_sec") <= 600, F.col("delta_v")))).alias(
+            "short_baseline_mean"
+        ),
+        F.count(F.when(F.col("dt_sec") <= 600, 1)).alias("n_short"),
+    )
+
+
+_SQL_A2 = (
+    SERIES_CTE
+    + """
+, d AS (
+  SELECT conv_id,
+         v - lag(v) OVER w AS delta_v,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt_sec
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT conv_id,
+       round(avg(CASE WHEN dt_sec <= 600 THEN delta_v END), 6) AS short_baseline_mean,
+       count(CASE WHEN dt_sec <= 600 THEN 1 END)               AS n_short
+FROM d GROUP BY conv_id
+"""
+)
+
+
+def q_a3_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: weighted mean + population stddev per series
+    (insar/timeseries.py:436-441); weight = turn_idx+1."""
+    t = events_series(spark, sf_dir).withColumn(
+        "w", (F.col("turn_idx") + 1).cast("double")
+    )
+    return t.groupBy("conv_id").agg(
+        _r(F.sum(F.col("w") * F.col("v")) / F.sum("w")).alias("wmean_v"),
+        _r(F.stddev_pop("v")).alias("std_v"),
+    )
+
+
+_SQL_A3 = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       round(sum((turn_idx + 1) * v) / sum(turn_idx + 1), 6) AS wmean_v,
+       round(stddev_pop(v), 6)                               AS std_v
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_a4_temporal_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: |Σ exp(i·r)|/n via pure built-ins (insar/timeseries.py:549-553)."""
+    t = events_series(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        _r(
+            F.sqrt(
+                F.pow(F.sum(F.cos("v")), 2) + F.pow(F.sum(F.sin("v")), 2)
+            )
+            / F.count(F.lit(1))
+        ).alias("temporal_coherence")
+    )
+
+
+_SQL_A4 = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       round(sqrt(pow(sum(cos(v)), 2) + pow(sum(sin(v)), 2)) / count(*), 6)
+         AS temporal_coherence
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_a6_percentile_ptp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: 2–98 percentile peak-to-peak, exact interpolated percentiles
+    (insar/ts_utils.py:282-289)."""
+    t = events_series(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        _r(F.percentile("v", F.lit(0.02))).alias("p02"),
+        _r(F.percentile("v", F.lit(0.98))).alias("p98"),
+        _r(
+            F.percentile("v", F.lit(0.98)) - F.percentile("v", F.lit(0.02))
+        ).alias("ptp"),
+    )
+
+
+_SQL_A6 = (
+    SERIES_CTE
+    + """
+SELECT event_type,
+       round(quantile_cont(v, 0.02), 6) AS p02,
+       round(quantile_cont(v, 0.98), 6) AS p98,
+       round(quantile_cont(v, 0.98) - quantile_cont(v, 0.02), 6) AS ptp
+FROM t GROUP BY event_type
+"""
+)
+
+
+def q_e1_union_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: distinct date set from both pair endpoints
+    (insar/prepare.py:88)."""
+    t = events_series(spark, sf_dir)
+    p = S.adjacent_pairs(t, "v", k=1)
+    return (
+        p.select(F.col("early_ts").alias("d"))
+        .union(p.select(F.col("late_ts").alias("d")))
+        .distinct()
+    )
+
+
+_SQL_E1 = (
+    SERIES_CTE
+    + """
+, p AS (
+  SELECT ts AS early_ts, lead(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS late_ts
+  FROM t
+)
+SELECT early_ts AS d FROM p WHERE late_ts IS NOT NULL
+UNION
+SELECT late_ts AS d FROM p WHERE late_ts IS NOT NULL
+"""
+)
+
+
+# ------------------------------------------------- training-data operators
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+_SQL_TOKENS = """
+SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS n_tokens,
+       cast(length(text) AS int) AS len_chars
+FROM documents
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: whitespace ratio, mean token length, stopword
+    ratio — training-data filter building blocks."""
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        _r(n_spaces.cast("double") / n_chars).alias("space_ratio"),
+        _r((n_chars - n_spaces).cast("double") / n_tokens).alias("avg_token_len"),
+        _r(n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+_SQL_QUALITY = f"""
+SELECT doc_id,
+       round((length(text) - length(replace(text, ' ', ''))) * 1.0
+             / length(text), 6) AS space_ratio,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(string_split(text, ' ')), 6) AS avg_token_len,
+       round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) * 1.0
+             / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_sim_cosine_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity of every embedding vs embedding #0.
+
+    JVM-side: zip_with + aggregate (no Python). The scale path (LSH/IVF)
+    lands in a later round; this is the exact baseline.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe")
+        )
+    )
+    joined = emb.crossJoin(qv)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    return joined.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+
+
+_SQL_SIM = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(cast(e.embedding AS double[]), cast(q.qe AS double[]))
+             / (sqrt(list_dot_product(cast(e.embedding AS double[]), cast(e.embedding AS double[])))
+                * sqrt(list_dot_product(cast(q.qe AS double[]), cast(q.qe AS double[])))), 4) AS cos_sim
+FROM embeddings e, q
+"""
+
+
+# ----------------------------------------------------------- TPC-H staple
+
+
+def q_tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned-scan aggregate over lineitem (pushdown showcase)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_rollup_1m": q_flagship_rollup_1m,
+        "rollup_cascade_1h": q_rollup_cascade_1h,
+        "rollup_cascade_1d": q_rollup_cascade_1d,
+        "w1_turn_deltas": q_w1_turn_deltas,
+        "w2_cumsum_reconstruct": q_w2_cumsum_reconstruct,
+        "w4_reference_align": q_w4_reference_align,
+        "w8_ffill": q_w8_ffill,
+        "w9_diff_k3": q_w9_diff_k3,
+        "a12_rolling_mean_1h": q_a12_rolling_mean_1h,
+        "j1_adjacent_pairs": q_j1_adjacent_pairs,
+        "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
+        "f2_anti_ignore": q_f2_anti_ignore,
+        "f6_threshold_zero": q_f6_threshold_zero,
+        "a1_stack_average": q_a1_stack_average,
+        "a2_short_baseline_mean": q_a2_short_baseline_mean,
+        "a3_weighted_stats": q_a3_weighted_stats,
+        "a4_temporal_coherence": q_a4_temporal_coherence,
+        "a6_percentile_ptp": q_a6_percentile_ptp,
+        "e1_union_distinct_dates": q_e1_union_distinct_dates,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_quality_score": q_text_quality_score,
+        "sim_cosine_vs_query": q_sim_cosine_vs_query,
+        "tpch_q1ish": q_tpch_q1ish,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_rollup_1m": _SQL_ROLLUP_1M,
+        "rollup_cascade_1h": _SQL_ROLLUP_1H,
+        "rollup_cascade_1d": _SQL_ROLLUP_1D,
+        "w1_turn_deltas": _SQL_W1,
+        "w2_cumsum_reconstruct": _SQL_W2,
+        "w4_reference_align": _SQL_W4,
+        "w8_ffill": _SQL_W8,
+        "w9_diff_k3": _SQL_W9,
+        "a12_rolling_mean_1h": _SQL_A12,
+        "j1_adjacent_pairs": _SQL_J1,
+        "f1_f3_filtered_pairs": _SQL_F1F3,
+        "f2_anti_ignore": _SQL_F2,
+        "f6_threshold_zero": _SQL_F6,
+        "a1_stack_average": _SQL_A1,
+        "a2_short_baseline_mean": _SQL_A2,
+        "a3_weighted_stats": _SQL_A3,
+        "a4_temporal_coherence": _SQL_A4,
+        "a6_percentile_ptp": _SQL_A6,
+        "e1_union_distinct_dates": _SQL_E1,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "text_token_count": _SQL_TOKENS,
+        "text_quality_score": _SQL_QUALITY,
+        "sim_cosine_vs_query": _SQL_SIM,
+        "tpch_q1ish": _SQL_TPCH_Q1,
+    }

@@ -1,0 +1,137 @@
+"""NumPy kernels for SBAS-style temporal inversion.
+
+Pure, driverless math used inside Arrow-batched grouped-map UDFs. These are
+fresh implementations of the *semantics* pinned down by the reference's
+golden unit tests (/root/reference/insar/tests/test_timeseries.py:64-147):
+
+* ``build_A`` — incidence matrix, M pairs × (N-1) dates, −1 early / +1 late,
+  first date excluded (time 0). Golden: test_timeseries.py:64-77.
+  Semantics source: insar/ts_utils.py:10-43 (re-expressed vectorized via
+  searchsorted rather than the reference's double loop).
+* ``build_B`` — velocity-coefficient matrix: row j carries the inter-date
+  gaps spanned by pair j. Golden: test_timeseries.py:89-102.
+  Semantics source: insar/ts_utils.py:46-90.
+* ``invert_sbas`` — least squares via pinv(G): insar/timeseries.py:529-531.
+* ``integrate_velocities`` — cumsum(v·Δt) with zero first row:
+  insar/ts_numba.py:84-106. Golden: test_timeseries.py:116-133
+  (deltas [2,14,12,14,2] → velocities [1,2,0.5] → phases [0,2,14,16]).
+* ``temporal_coherence`` — |Σ exp(i·resid)|/M: insar/timeseries.py:549-553.
+
+All functions take/return float64 and expect *sorted unique* date numbers
+(the engine sorts by (ts, turn_idx) before calling — fixed accumulation
+order is what makes tier outputs bit-for-bit reproducible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_A(date_nums: np.ndarray, early: np.ndarray, late: np.ndarray) -> np.ndarray:
+    """Incidence matrix A (M×(N-1)) with A[j, idx(late)-1]=+1, idx(early)-1=−1.
+
+    ``date_nums`` sorted unique float day-numbers; early/late per pair.
+    Entries referencing the first date are dropped (it is the zero point).
+    """
+    n = len(date_nums)
+    m = len(early)
+    A = np.zeros((m, n - 1), dtype=np.float64)
+    e_idx = np.searchsorted(date_nums, early)
+    l_idx = np.searchsorted(date_nums, late)
+    rows = np.arange(m)
+    has_e = e_idx > 0
+    A[rows[has_e], e_idx[has_e] - 1] = -1.0
+    has_l = l_idx > 0
+    A[rows[has_l], l_idx[has_l] - 1] = 1.0
+    return A
+
+
+def build_B(date_nums: np.ndarray, early: np.ndarray, late: np.ndarray) -> np.ndarray:
+    """Velocity-coefficient matrix B: row j holds Δt_k over pair j's span."""
+    timediffs = np.diff(date_nums).astype(np.float64)
+    e_idx = np.searchsorted(date_nums, early)
+    l_idx = np.searchsorted(date_nums, late)
+    m = len(early)
+    B = np.zeros((m, len(date_nums) - 1), dtype=np.float64)
+    for j in range(m):
+        B[j, e_idx[j] : l_idx[j]] = timediffs[e_idx[j] : l_idx[j]]
+    return B
+
+
+def invert_sbas(
+    deltas: np.ndarray, G: np.ndarray, weights: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Least-squares solve pinv(G) @ deltas; returns (solution, residuals).
+
+    ``deltas`` is (M,) or (M, P) — multiple series solved in one matmul,
+    the reference's pixels-as-columns batching (insar/timeseries.py:529-531).
+    NaNs are zeroed first (insar/timeseries.py:510-511). Optional per-pair
+    weights scale both sides (WLS path, insar/timeseries.py:561-648).
+    """
+    d = np.nan_to_num(np.asarray(deltas, dtype=np.float64), nan=0.0)
+    G = np.asarray(G, dtype=np.float64)
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64).reshape(-1, 1)
+        d = d * w.reshape(-1) if d.ndim == 1 else d * w
+        G = G * w
+    soln = np.linalg.pinv(G) @ d
+    resid = d - G @ soln
+    return soln, resid
+
+
+def integrate_velocities(velocities: np.ndarray, timediffs: np.ndarray) -> np.ndarray:
+    """cumsum(v·Δt) along axis 0, with a prepended zero row."""
+    v = np.asarray(velocities, dtype=np.float64)
+    one_d = v.ndim == 1
+    if one_d:
+        v = v.reshape(-1, 1)
+    td = np.asarray(timediffs, dtype=np.float64)
+    if len(td) != v.shape[0]:
+        raise ValueError(
+            f"timediffs length {len(td)} != velocity rows {v.shape[0]}"
+        )
+    phi = np.vstack(
+        [np.zeros((1, v.shape[1])), np.cumsum(v * td.reshape(-1, 1), axis=0)]
+    )
+    return phi[:, 0] if one_d else phi
+
+
+def temporal_coherence(residuals: np.ndarray) -> np.ndarray | float:
+    """|Σ_j exp(i·r_j)| / M per series column — solution quality in [0, 1]."""
+    r = np.asarray(residuals, dtype=np.float64)
+    m = r.shape[0]
+    if m == 0:
+        return 0.0
+    # |sum(exp(ir))| = hypot(sum cos, sum sin) — no complex needed
+    c = np.hypot(np.sum(np.cos(r), axis=0), np.sum(np.sin(r), axis=0)) / m
+    return c
+
+
+def solve_series(
+    date_nums: np.ndarray,
+    early: np.ndarray,
+    late: np.ndarray,
+    deltas: np.ndarray,
+    use_b_matrix: bool = False,
+    weights: np.ndarray | None = None,
+    scale: float = 1.0,
+) -> tuple[np.ndarray, float]:
+    """Full per-series solve: pairs (early, late, delta) -> cumulative phases.
+
+    Returns (phases aligned to date_nums (N,), temporal coherence). The
+    all-zero short-circuit mirrors insar/timeseries.py:512-516.
+    """
+    d = np.nan_to_num(np.asarray(deltas, dtype=np.float64), nan=0.0)
+    n = len(date_nums)
+    if not np.any(d):
+        return np.zeros(n), 0.0
+    if use_b_matrix:
+        G = build_B(date_nums, early, late)
+        vel, resid = invert_sbas(d, G, weights)
+        phases = integrate_velocities(vel, np.diff(date_nums))
+    else:
+        G = build_A(date_nums, early, late)
+        soln, resid = invert_sbas(d, G, weights)
+        phases = np.concatenate([[0.0], np.atleast_1d(soln)])
+    coh = float(np.atleast_1d(temporal_coherence(resid))[0])
+    return phases * scale, coh

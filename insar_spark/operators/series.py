@@ -1,0 +1,223 @@
+"""Ordered per-series window operators — the engine's heart (SURVEY.md §2.5).
+
+Every operator here is a pure DataFrame transformation over a "long" series
+table keyed by ``conv_id`` and totally ordered by ``(ts, turn_idx)``. They are
+the Spark-native re-expression of the reference's dense-stack axis-0 NumPy
+operations; Catalyst turns them into a single window exchange per
+partition-key, so consecutive operators over the same key reuse one shuffle.
+
+Reference semantics implemented (file:line cites into /root/reference):
+
+* W1 turn deltas          <- np.diff over dates    insar/timeseries.py:536-537
+* W2 cumulative integrate <- cumsum of v*dt        insar/ts_utils.py:166-187,
+                                                   insar/ts_numba.py:84-106
+* W3 zero-prepended first row                      insar/timeseries.py:540-543
+* W4 reference alignment  <- subtract ref value    insar/prepare.py:381-386
+* W8 forward-fill reindex                          insar/scripts/create_east_up.py:293-295
+* W9 k-lag differencing                            insar/scripts/create_east_up.py:628-647
+* A12 centered rolling mean (time-range window)    insar/scripts/create_east_up.py:293-297
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+KEY = "conv_id"
+ORDER = ("ts", "turn_idx")
+
+
+def series_window(key: str = KEY, order: tuple[str, ...] = ORDER) -> WindowSpec:
+    """The canonical per-series window: partition by key, stable total order.
+
+    ``turn_idx`` is the tie-breaker — the per-turn text-equality invariant
+    requires a *stable* turn ordering even when timestamps collide.
+    """
+    return Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+
+
+def ord_key(ts: str = "ts", turn_idx: str = "turn_idx") -> Column:
+    """A single BIGINT totally ordering turns: epoch-millis * 2^20 + turn_idx.
+
+    Used where a composite ordering key is awkward (min_by/arg_min in both
+    Spark and the DuckDB oracle: `epoch_ms(ts)*1048576 + turn_idx`).
+    Millis (not micros) keeps the product inside int64 through year 2200+;
+    turn_idx is the designated tie-breaker below the millisecond, per the
+    stable-turn-ordering invariant (FIXTURES.md §1).
+    """
+    return (
+        F.floor(F.unix_micros(F.col(ts)) / F.lit(1000)) * F.lit(1 << 20)
+        + F.col(turn_idx)
+    ).alias("ord")
+
+
+def with_text_len(df: DataFrame) -> DataFrame:
+    """C12: the text-length metric — the transcript analog of phase value."""
+    return df.withColumn("text_len", F.length("text").cast("double"))
+
+
+def turn_deltas(df: DataFrame, value_col: str = "text_len") -> DataFrame:
+    """W1: adjacent-turn deltas of ``value_col`` and of time (seconds).
+
+    The bandwidth-1 interferogram network: each row becomes the "pair"
+    (prev_turn, this_turn) with delta value and day-gap, the exact analog of
+    np.diff over the date axis (insar/timeseries.py:536-537). Generated with
+    ``lag`` — no self-join, no extra shuffle beyond the series window.
+    """
+    w = series_window()
+    return (
+        df.withColumn("prev_v", F.lag(value_col).over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("delta_v", F.col(value_col) - F.col("prev_v"))
+        .withColumn(
+            "dt_sec",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")) / F.lit(1_000_000.0),
+        )
+        .drop("prev_v", "prev_ts")
+    )
+
+
+def cumulative_reconstruct(
+    df_deltas: DataFrame, delta_col: str = "delta_v", out_col: str = "recon_v"
+) -> DataFrame:
+    """W2+W3: rebuild the cumulative series from adjacent deltas.
+
+    This *is* SBAS inversion for a bandwidth-1 pair network: A is bidiagonal
+    and pinv(A) reduces to a running sum, with an implicit zero first row
+    (integrate_velocities, insar/ts_utils.py:166-187: "Add 0 as first entry").
+    The first turn's delta is NULL -> coalesced to 0, so recon_v starts at 0.
+    """
+    w = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df_deltas.withColumn(
+        out_col, F.sum(F.coalesce(F.col(delta_col), F.lit(0.0))).over(w)
+    )
+
+
+def reference_align(df: DataFrame, value_col: str = "text_len") -> DataFrame:
+    """W4: subtract each series' reference (first) value.
+
+    The reference-point shift of insar/prepare.py:381-386 (`_shift`): every
+    layer minus the value at the reference — here the series head, selected
+    by the stable (ts, turn_idx) order.
+    """
+    w = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        f"{value_col}_aligned", F.col(value_col) - F.first(value_col).over(w)
+    )
+
+
+def reference_align_window(
+    df: DataFrame, value_col: str = "text_len", ref_width: int = 3
+) -> DataFrame:
+    """W4 variant: subtract the mean of a window at the series head.
+
+    Mirrors the reference's win×win patch mean around the reference pixel
+    (insar/prepare.py:381-386 uses mean of a window, not a single cell).
+    """
+    w_head = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = series_window().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(series_window())
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn(
+            "_ref",
+            F.avg(F.when(F.col("_rn") <= ref_width, F.col(value_col))).over(w_all),
+        )
+        .withColumn(f"{value_col}_aligned", F.col(value_col) - F.col("_ref"))
+        .drop("_rn", "_ref")
+    )
+
+
+def ffill(df: DataFrame, value_col: str) -> DataFrame:
+    """W8: forward-fill nulls within a series (reindex().ffill() analog)."""
+    w = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        f"{value_col}_ffill", F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def diff_k(df: DataFrame, value_col: str, k: int = 1) -> DataFrame:
+    """W9: difference against the value k turns earlier (src2 - src1)."""
+    w = series_window()
+    return df.withColumn(
+        f"{value_col}_diff{k}", F.col(value_col) - F.lag(value_col, k).over(w)
+    )
+
+
+def rolling_mean_time(
+    df: DataFrame, value_col: str, half_window_sec: int
+) -> DataFrame:
+    """A12: centered rolling mean over a ±time range (seconds).
+
+    The GPS 720-sample centered rolling mean
+    (insar/scripts/create_east_up.py:293-297), expressed as a RANGE window
+    over epoch-seconds so irregular sampling is handled natively.
+    """
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-half_window_sec * 1_000_000, half_window_sec * 1_000_000)
+    )
+    return df.withColumn(f"{value_col}_roll", F.avg(value_col).over(w))
+
+
+def rolling_mean_rows(df: DataFrame, value_col: str, half_width: int) -> DataFrame:
+    """W10: centered rolling mean over ±half_width rows (window_stack analog)."""
+    w = series_window().rowsBetween(-half_width, half_width)
+    return df.withColumn(f"{value_col}_rollrows", F.avg(value_col).over(w))
+
+
+def adjacent_pairs(df: DataFrame, value_col: str = "text_len", k: int = 1) -> DataFrame:
+    """J1 (nearest-neighbor form): emit (early, late) turn pairs k apart.
+
+    Pair formation via ``lead`` — the hot path replaces the reference's
+    all-combinations self-join (insar/sbas/synthetic.py:89-107) with a
+    shuffle-free window for the k-nearest-neighbor network (bandwidth filter
+    F4 built in: only pairs exactly k apart in turn order are produced).
+    """
+    w = series_window()
+    return (
+        df.select(
+            KEY,
+            F.col("ts").alias("early_ts"),
+            F.col("turn_idx").alias("early_idx"),
+            F.col(value_col).alias("early_v"),
+            F.lead("ts", k).over(w).alias("late_ts"),
+            F.lead("turn_idx", k).over(w).alias("late_idx"),
+            F.lead(value_col, k).over(w).alias("late_v"),
+        )
+        .filter(F.col("late_ts").isNotNull())
+        .withColumn("delta_v", F.col("late_v") - F.col("early_v"))
+    )
+
+
+def all_pairs(df: DataFrame, value_col: str = "text_len", max_gap_turns: int | None = None) -> DataFrame:
+    """J1 (all-combinations form): the full SBAS pair network via self-join.
+
+    For N turns this is O(N^2) — only used for small windows / diagnostics,
+    matching itertools.combinations(dates, 2) at insar/sbas/synthetic.py:89-107.
+    ``max_gap_turns`` is the temporal-baseline cap (F3) pushed into the join
+    condition so Catalyst prunes before the join output materializes.
+    """
+    a = df.select(
+        KEY,
+        F.col("turn_idx").alias("early_idx"),
+        F.col("ts").alias("early_ts"),
+        F.col(value_col).alias("early_v"),
+    )
+    b = df.select(
+        F.col(KEY).alias("conv_id_b"),
+        F.col("turn_idx").alias("late_idx"),
+        F.col("ts").alias("late_ts"),
+        F.col(value_col).alias("late_v"),
+    )
+    cond = (a[KEY] == b["conv_id_b"]) & (a["early_idx"] < b["late_idx"])
+    if max_gap_turns is not None:
+        cond = cond & (b["late_idx"] - a["early_idx"] <= max_gap_turns)
+    return (
+        a.join(b, cond)
+        .drop("conv_id_b")
+        .withColumn("delta_v", F.col("late_v") - F.col("early_v"))
+    )

@@ -1,0 +1,83 @@
+"""Tier rollup + cascade tests (FIXTURES.md §4 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from insar_spark.operators.rollup import cascade, finalize, rollup_all_tiers, rollup_turns
+
+
+def _pd_rollup(pdf: pd.DataFrame, unit: str) -> pd.DataFrame:
+    p = pdf.copy()
+    p["text_len"] = p["text"].str.len().astype("float64")
+    p["window_start"] = p["ts"].dt.floor(unit)
+    g = p.groupby(["conv_id", "window_start"])
+    out = g.agg(
+        n_turns=("text_len", "size"),
+        n_tool_calls=("tool", "count"),
+        sum_text_len=("text_len", "sum"),
+        min_text_len=("text_len", "min"),
+        max_text_len=("text_len", "max"),
+    ).reset_index()
+    return out.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+
+
+def test_rollup_1m_matches_pandas(spark, transcripts, transcripts_pdf):
+    got = _sorted(rollup_turns(transcripts, "1m").toPandas())
+    exp = _pd_rollup(transcripts_pdf, "min")
+    assert len(got) == len(exp)
+    for c in ["n_turns", "n_tool_calls", "sum_text_len", "min_text_len", "max_text_len"]:
+        np.testing.assert_allclose(got[c].to_numpy("float64"), exp[c].to_numpy("float64"), err_msg=c)
+
+
+def test_cascade_identity_1h(spark, transcripts):
+    """rollup_1h(turns) == cascade(rollup_1m(turns)) — exact reagg."""
+    direct = _sorted(rollup_turns(transcripts, "1h").toPandas())
+    cascaded = _sorted(cascade(rollup_turns(transcripts, "1m"), "1h").toPandas())
+    pd.testing.assert_frame_equal(direct, cascaded, check_exact=True)
+
+
+def test_cascade_identity_1d(spark, transcripts):
+    direct = _sorted(rollup_turns(transcripts, "1d").toPandas())
+    tiers = rollup_all_tiers(transcripts)
+    cascaded = _sorted(tiers["1d"].toPandas())
+    pd.testing.assert_frame_equal(direct, cascaded, check_exact=True)
+
+
+def test_first_last_stable_order(spark, transcripts, transcripts_pdf):
+    got = _sorted(rollup_turns(transcripts, "1h").toPandas())
+    p = transcripts_pdf.copy()
+    p["text_len"] = p["text"].str.len().astype("float64")
+    p["window_start"] = p["ts"].dt.floor("h")
+    p = p.sort_values(["conv_id", "window_start", "ts", "turn_idx"])
+    g = p.groupby(["conv_id", "window_start"])
+    exp_first = g["text_len"].first().reset_index(drop=True)
+    exp_last = g["text_len"].last().reset_index(drop=True)
+    np.testing.assert_allclose(got["first_text_len"].to_numpy(), exp_first.to_numpy())
+    np.testing.assert_allclose(got["last_text_len"].to_numpy(), exp_last.to_numpy())
+
+
+def test_finalize_metrics(spark, transcripts):
+    fin = finalize(rollup_turns(transcripts, "1m"), "1m").toPandas()
+    assert (fin["turns_per_min"] == fin["n_turns"]).all()
+    assert ((fin["tool_call_rate"] >= 0) & (fin["tool_call_rate"] <= 1)).all()
+    np.testing.assert_allclose(
+        fin["tool_call_rate"].to_numpy(),
+        (fin["n_tool_calls"] / fin["n_turns"]).to_numpy(),
+    )
+
+
+def test_rollup_insensitive_to_input_order(spark):
+    """Out-of-order arrival must not change any tier output (FIXTURES.md §1)."""
+    from insar_spark.synth import synth_transcripts
+
+    a = synth_transcripts(spark, n_convs=12, seed=7, mega_every=0)
+    b = synth_transcripts(spark, n_convs=12, seed=7, mega_every=0, shuffle=True)
+    ra = _sorted(rollup_turns(a, "1m").toPandas())
+    rb = _sorted(rollup_turns(b, "1m").toPandas())
+    pd.testing.assert_frame_equal(ra, rb, check_exact=True)

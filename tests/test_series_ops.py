@@ -1,0 +1,117 @@
+"""Series window operators vs pandas oracles on the synthetic transcripts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from insar_spark.operators import series as S
+
+
+def _pdf_sorted(transcripts_pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len().astype("float64")
+    return pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle(transcripts_pdf):
+    return _pdf_sorted(transcripts_pdf)
+
+
+def _collect(df, cols):
+    out = df.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    return out[cols]
+
+
+def test_turn_deltas_matches_pandas(spark, transcripts, oracle):
+    got = _collect(
+        S.turn_deltas(S.with_text_len(transcripts)),
+        ["conv_id", "turn_idx", "delta_v", "dt_sec"],
+    )
+    g = oracle.groupby("conv_id", sort=False)
+    exp_delta = g["text_len"].diff()
+    exp_dt = g["ts"].diff().dt.total_seconds()
+    np.testing.assert_allclose(got["delta_v"].to_numpy(), exp_delta.to_numpy())
+    np.testing.assert_allclose(got["dt_sec"].to_numpy(), exp_dt.to_numpy())
+
+
+def test_cumulative_reconstruct_equals_alignment(spark, transcripts):
+    """cumsum of adjacent deltas == value - first(value): the bandwidth-1
+    SBAS identity (SURVEY.md §7)."""
+    df = S.turn_deltas(S.with_text_len(transcripts))
+    df = S.cumulative_reconstruct(df)
+    df = S.reference_align(df, "text_len")
+    pdf = df.select("recon_v", "text_len_aligned").toPandas()
+    np.testing.assert_allclose(
+        pdf["recon_v"].to_numpy(), pdf["text_len_aligned"].to_numpy()
+    )
+
+
+def test_reference_align_first_row_zero(spark, transcripts):
+    df = S.reference_align(S.with_text_len(transcripts), "text_len")
+    firsts = (
+        df.toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .groupby("conv_id")
+        .first()
+    )
+    assert (firsts["text_len_aligned"] == 0).all()
+
+
+def test_diff_k_matches_pandas(spark, transcripts, oracle):
+    got = _collect(
+        S.diff_k(S.with_text_len(transcripts), "text_len", k=3),
+        ["conv_id", "text_len_diff3"],
+    )
+    exp = oracle.groupby("conv_id", sort=False)["text_len"].diff(3)
+    np.testing.assert_allclose(got["text_len_diff3"].to_numpy(), exp.to_numpy())
+
+
+def test_rolling_mean_rows_matches_pandas(spark, transcripts, oracle):
+    got = _collect(
+        S.rolling_mean_rows(S.with_text_len(transcripts), "text_len", 2),
+        ["conv_id", "text_len_rollrows"],
+    )
+    exp = (
+        oracle.groupby("conv_id", sort=False)["text_len"]
+        .rolling(5, center=True, min_periods=1)
+        .mean()
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["text_len_rollrows"].to_numpy(), exp.to_numpy())
+
+
+def test_adjacent_pairs_shape_and_deltas(spark, transcripts, oracle):
+    pairs = S.adjacent_pairs(S.with_text_len(transcripts), "text_len", k=1).toPandas()
+    n_rows = len(oracle)
+    n_convs = oracle["conv_id"].nunique()
+    assert len(pairs) == n_rows - n_convs  # one fewer pair than turns per conv
+    assert (pairs["late_idx"] > pairs["early_idx"]).all()
+    np.testing.assert_allclose(
+        pairs["delta_v"].to_numpy(), (pairs["late_v"] - pairs["early_v"]).to_numpy()
+    )
+
+
+def test_all_pairs_max_gap(spark, transcripts):
+    small = transcripts.filter("conv_id = 'conv00000001'")
+    pairs = S.all_pairs(S.with_text_len(small), "text_len", max_gap_turns=4).toPandas()
+    assert ((pairs["late_idx"] - pairs["early_idx"]) <= 4).all()
+    assert (pairs["late_idx"] > pairs["early_idx"]).all()
+
+
+def test_ffill(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    df = S.with_text_len(transcripts).withColumn(
+        "v", F.when(F.col("turn_idx") % 3 == 0, F.col("text_len"))
+    )
+    got = (
+        S.ffill(df, "v")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = got.groupby("conv_id", sort=False)["v"].ffill()
+    pd.testing.assert_series_equal(got["v_ffill"], exp, check_names=False)

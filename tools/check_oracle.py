@@ -1,0 +1,113 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry and its oracle_sql() twin at a
+given scale factor, compares row count, column names, and values
+(order-insensitive: columns sorted by name, rows sorted by all columns).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from insar_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(exp.columns):
+        return [f"columns differ: spark={sorted(got.columns)} duck={sorted(exp.columns)}"]
+    if len(got) != len(exp):
+        problems.append(f"row count: spark={len(got)} duck={len(exp)}")
+        return problems
+    g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if pd.api.types.is_float_dtype(gv):
+            ok = np.isclose(
+                gv.to_numpy(), ev.to_numpy("float64"), rtol=0, atol=1e-9, equal_nan=True
+            )
+        else:
+            ok = (gv == ev) | (gv.isna() & ev.isna())
+            ok = ok.to_numpy()
+        n_bad = int((~ok).sum())
+        if n_bad:
+            i = int(np.argmax(~ok))
+            problems.append(
+                f"col {c}: {n_bad}/{len(g)} mismatched, first at row {i}: "
+                f"spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    spark = get_spark("oracle_check")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(got)})")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        problems = compare(name, got, exp)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    print(f"\n{len(failed)} failed" if failed else "\nall green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
