@@ -584,6 +584,253 @@ FROM embeddings e, q
 """
 
 
+# ------------------------------------------------- gap-fill / model / UDF
+
+
+def q_w7_gapfill_linear_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: calendar-grid resample + linear gap interpolation at a 1-day
+    grid (insar utils.interpolate_xr semantics — no extrapolation)."""
+    from insar_spark.operators.gapfill import resample_linear
+
+    t = events_series(spark, sf_dir)
+    out = resample_linear(t, interval_sec=86_400, ord_col="ord")
+    return out.select(
+        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+    )
+
+
+_SQL_W7 = (
+    SERIES_CTE
+    + """
+, obs AS (
+  SELECT conv_id, date_trunc('day', ts) AS grid_ts, arg_max(v, ord) AS v
+  FROM t GROUP BY 1, 2
+), bounds AS (
+  SELECT conv_id, min(grid_ts) AS lo, max(grid_ts) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS grid_ts
+  FROM bounds
+), j AS (
+  SELECT g.conv_id, g.grid_ts, o.v
+  FROM grid g LEFT JOIN obs o USING (conv_id, grid_ts)
+), f AS (
+  SELECT conv_id, grid_ts, v,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(grid_ts) END IGNORE NULLS)
+      OVER wb AS pt,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(grid_ts) END IGNORE NULLS)
+      OVER wf AS nt
+  FROM j
+  WINDOW wb AS (PARTITION BY conv_id ORDER BY grid_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY conv_id ORDER BY grid_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, grid_ts,
+       round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * ((epoch_us(grid_ts) - pt) * 1.0 / (nt - pt))
+             END, 6) AS v_filled,
+       v IS NOT NULL AS is_observed
+FROM f
+"""
+)
+
+_X0_DAYS = "epoch_us(ts) / 86400000000.0 - 19723"  # days since 2024-01-01
+
+
+def q_a10_polyfit_deg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (deg 1): closed-form linear model per series via regr_* built-ins
+    (insar/timeseries.py:716-917's linear tier); x = days since 2024-01-01
+    so the intercept is well-conditioned."""
+    t = events_series(spark, sf_dir)
+    x = F.unix_micros("ts") / F.lit(86_400e6) - F.lit(19723.0)
+    return t.groupBy("conv_id").agg(
+        _r(F.regr_slope("v", x)).alias("slope_per_day"),
+        _r(F.regr_intercept("v", x), 4).alias("intercept"),
+        F.count("v").alias("n"),
+    )
+
+
+_SQL_A10 = (
+    SERIES_CTE
+    + f"""
+SELECT conv_id,
+       round(regr_slope(v, {_X0_DAYS}), 6)     AS slope_per_day,
+       round(regr_intercept(v, {_X0_DAYS}), 4) AS intercept,
+       count(v)                                AS n
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_j5_mask_pair_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+E3: per-(series, day) boolean mask, then pair mask = OR of the two
+    endpoint masks (insar/prepare.py:724-730)."""
+    t = events_series(spark, sf_dir)
+    daily = t.groupBy(
+        "conv_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.bool_or(F.col("event_type") == "error").alias("m"))
+    w = Window.partitionBy("conv_id").orderBy("d")
+    return (
+        daily.withColumn("late_d", F.lead("d").over(w))
+        .withColumn("late_m", F.lead("m").over(w))
+        .filter(F.col("late_d").isNotNull())
+        .select(
+            "conv_id",
+            F.col("d").alias("early_d"),
+            "late_d",
+            (F.col("m") | F.col("late_m")).alias("pair_mask"),
+        )
+    )
+
+
+_SQL_J5 = (
+    SERIES_CTE
+    + """
+, daily AS (
+  SELECT conv_id, date_trunc('day', ts) AS d,
+         bool_or(event_type = 'error') AS m
+  FROM t GROUP BY 1, 2
+)
+SELECT conv_id, d AS early_d, lead(d) OVER w AS late_d,
+       (m OR lead(m) OVER w) AS pair_mask
+FROM daily WINDOW w AS (PARTITION BY conv_id ORDER BY d)
+QUALIFY lead(d) OVER w IS NOT NULL
+"""
+)
+
+
+def q_f9_event_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: pairs straddling an event date (coseismic_stack.py:63-91)."""
+    t = events_series(spark, sf_dir)
+    p = S.adjacent_pairs(t, "v", k=1)
+    d = F.lit("2024-01-10 12:00:00").cast("timestamp")
+    return p.filter((F.col("early_ts") < d) & (F.col("late_ts") > d)).select(
+        "conv_id", "early_idx", "late_idx", _r("delta_v").alias("delta_v")
+    )
+
+
+_SQL_F9 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, early_idx, late_idx, delta_v FROM (
+  SELECT conv_id, ts AS early_ts, lead(ts) OVER w AS late_ts,
+         turn_idx AS early_idx, lead(turn_idx) OVER w AS late_idx,
+         round(lead(v) OVER w - v, 6) AS delta_v
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+) WHERE early_ts < timestamp '2024-01-10 12:00:00' AND late_ts > timestamp '2024-01-10 12:00:00'
+"""
+)
+
+
+def q_a11_velocity_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: linear-velocity model — B.sum(axis=1) collapses the pair network
+    to total span; velocity = net delta / span days (insar/ts_utils.py:86-88)."""
+    t = events_series(spark, sf_dir)
+    span_days = (
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(86_400e6)
+    )
+    net = F.max_by("v", "ord") - F.min_by("v", "ord")
+    return t.groupBy("conv_id").agg(
+        _r(span_days).alias("span_days"),
+        _r(net / span_days).alias("velocity_per_day"),
+    )
+
+
+_SQL_A11 = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000.0, 6) AS span_days,
+       round((arg_max(v, ord) - arg_min(v, ord))
+             / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000.0), 6)
+         AS velocity_per_day
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_c1_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: regexp field parse (filename-date analog: k out of props JSON)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'k": (\d+)', 1).cast("int")
+    return ev.groupBy((k % 10).alias("k_mod10")).agg(
+        F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value")
+    )
+
+
+_SQL_C1 = """
+SELECT cast(regexp_extract(props, 'k": (\\d+)', 1) AS int) % 10 AS k_mod10,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sbas_solve_bandwidth1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 through the full UDF path, oracle-checked via the bandwidth-1
+    identity: on an adjacent-pair network the pinv solve equals the
+    cumulative reconstruction v - first(v) (SURVEY.md §7)."""
+    from insar_spark.operators.sbas import invert_pairs
+
+    t = events_series(spark, sf_dir)
+    pairs = S.adjacent_pairs(t, "v", k=1)
+    out = invert_pairs(pairs, prefilter=False)
+    return out.select(
+        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+    )
+
+
+_SQL_SBAS_BW1 = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       round(epoch_us(ts) / 86400000000.0, 6) AS date_num,
+       round(v - first_value(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS phase
+FROM t
+"""
+)
+
+
+def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: robust lowess per series (UDF path — no SQL oracle; covered by
+    numpy-kernel parity tests in tests/test_smoothing.py)."""
+    from insar_spark.operators.smoothing import lowess_smooth
+
+    t = events_series(spark, sf_dir)
+    return lowess_smooth(t, "v", min_span_days=14.0, it=2).select(
+        "conv_id", "ts", _r("smooth").alias("smooth")
+    )
+
+
+def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 spline variant (UDF path — no SQL oracle; covered by
+    tests/test_gapfill.py kernel parity)."""
+    from insar_spark.operators.gapfill import resample_spline
+
+    t = events_series(spark, sf_dir)
+    return resample_spline(t, interval_sec=86_400).select(
+        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+    )
+
+
+def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression pack surface: per-series Gorilla blob sizes (deterministic
+    given the data; round-trip exactness proven by hypothesis tests)."""
+    from insar_spark.operators.compression import compress_series
+
+    t = events_series(spark, sf_dir)
+    blobs = compress_series(t)
+    return blobs.select(
+        "conv_id",
+        "n_points",
+        F.length("ts_blob").alias("ts_bytes"),
+        F.length("v_blob").alias("v_bytes"),
+    )
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -643,6 +890,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "sim_cosine_vs_query": q_sim_cosine_vs_query,
         "tpch_q1ish": q_tpch_q1ish,
+        "w7_gapfill_linear_1d": q_w7_gapfill_linear_1d,
+        "a10_polyfit_deg1": q_a10_polyfit_deg1,
+        "j5_mask_pair_or": q_j5_mask_pair_or,
+        "f9_event_window_pairs": q_f9_event_window_pairs,
+        "a11_velocity_linear": q_a11_velocity_linear,
+        "c1_regexp_extract": q_c1_regexp_extract,
+        "sbas_solve_bandwidth1": q_sbas_solve_bandwidth1,
+        "w5_lowess_smooth": q_w5_lowess_smooth,
+        "w7_gapfill_spline": q_w7_gapfill_spline,
+        "gorilla_compress_stats": q_gorilla_compress_stats,
     }
 
 
@@ -672,4 +929,14 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _SQL_QUALITY,
         "sim_cosine_vs_query": _SQL_SIM,
         "tpch_q1ish": _SQL_TPCH_Q1,
+        "w7_gapfill_linear_1d": _SQL_W7,
+        "a10_polyfit_deg1": _SQL_A10,
+        "j5_mask_pair_or": _SQL_J5,
+        "f9_event_window_pairs": _SQL_F9,
+        "a11_velocity_linear": _SQL_A11,
+        "c1_regexp_extract": _SQL_C1,
+        "sbas_solve_bandwidth1": _SQL_SBAS_BW1,
+        # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats:
+        # non-SQL-expressible UDF paths — rows-only driver check; exactness
+        # proven by kernel-parity pytest oracles
     }

@@ -1,0 +1,118 @@
+"""Per-series smoothing & model fitting (W5, A10).
+
+* ``lowess_smooth`` — robust local regression per series via grouped-map
+  Arrow UDF (insar/timeseries.py:928-1009 semantics: min weighted span,
+  bisquare robustness iterations, optional day-1 subtraction).
+* ``polyfit_series`` — per-series polynomial model fit
+  (insar/timeseries.py:716-917). Degree 1 has a closed form expressible as
+  pure SQL aggregates (``regr_slope``/``regr_intercept`` — DuckDB-oracle-
+  able); higher degrees run the Vandermonde least squares in the UDF
+  (insar/ts_utils.py:93-103 ``A_polynomial``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from insar_spark.functions.lowess_kernel import lowess_xy
+from insar_spark.operators.series import KEY
+
+_SEC_PER_DAY = 86_400.0
+
+
+def _day_nums(ts: pd.Series) -> np.ndarray:
+    return ts.to_numpy("datetime64[us]").astype("int64") / 1e6 / _SEC_PER_DAY
+
+
+def lowess_smooth(
+    df: DataFrame,
+    value_col: str = "v",
+    min_span_days: float = 2 * 365.25,
+    it: int = 2,
+    subtract_first: bool = False,
+) -> DataFrame:
+    """Lowess-smoothed series; one Arrow batch per conv_id.
+
+    ``subtract_first`` reproduces the reference's day-1 layer subtraction
+    after smoothing (insar/timeseries.py:966-1009).
+    """
+    schema = f"{KEY} string, ts timestamp, {value_col} double, smooth double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "turn_idx"]) if "turn_idx" in pdf else pdf.sort_values("ts")
+        x = _day_nums(pdf["ts"])
+        y = pdf[value_col].to_numpy(dtype="float64")
+        sm = lowess_xy(x, y, min_x_weighted=min_span_days, it=it)
+        if subtract_first and len(sm):
+            sm = sm - sm[0]
+        return pd.DataFrame(
+            {
+                KEY: pdf[KEY].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                value_col: y,
+                "smooth": sm,
+            }
+        )
+
+    cols = [KEY, "ts", value_col] + (
+        ["turn_idx"] if "turn_idx" in df.columns else []
+    )
+    return df.select(*cols).groupBy(KEY).applyInPandas(smooth, schema=schema)
+
+
+def polyfit_deg1(df: DataFrame, value_col: str = "v") -> DataFrame:
+    """Closed-form linear fit per series: slope per day + intercept.
+
+    Pure built-in aggregates (JVM, no UDF): the velocity-model tier of the
+    engine, x = epoch-days. Equivalent to np.polyfit(date_nums, v, 1).
+    """
+    x = F.unix_micros("ts") / F.lit(1e6 * _SEC_PER_DAY)
+    return df.groupBy(KEY).agg(
+        F.regr_slope(F.col(value_col), x).alias("slope_per_day"),
+        F.regr_intercept(F.col(value_col), x).alias("intercept"),
+        F.regr_r2(F.col(value_col), x).alias("r2"),
+        F.count(value_col).alias("n"),
+    )
+
+
+def polyfit_series(
+    df: DataFrame, value_col: str = "v", degree: int = 2
+) -> DataFrame:
+    """Vandermonde least-squares polynomial fit per series (grouped UDF).
+
+    Returns one row per series with coefficient array (ascending powers of
+    epoch-days, like np.polynomial.polyvander) and the residual stddev used
+    by the reference's weighted refit (insar/timeseries.py:857-878).
+    """
+    schema = f"{KEY} string, coeffs array<double>, resid_std double, n int"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        x = _day_nums(pdf["ts"])
+        y = pdf[value_col].to_numpy(dtype="float64")
+        mask = ~np.isnan(y)
+        x, y = x[mask], y[mask]
+        if len(x) <= degree:
+            coeffs = [float("nan")] * (degree + 1)
+            rs = float("nan")
+        else:
+            x0 = x - x[0]  # condition the Vandermonde
+            V = np.vander(x0, degree + 1, increasing=True)
+            coef, *_ = np.linalg.lstsq(V, y, rcond=None)
+            resid = y - V @ coef
+            rs = float(resid.std())
+            coeffs = [float(c) for c in coef]
+        return pd.DataFrame(
+            {
+                KEY: [pdf[KEY].iloc[0]],
+                "coeffs": [coeffs],
+                "resid_std": [rs],
+                "n": [int(len(x))],
+            }
+        )
+
+    return df.select(KEY, "ts", value_col).groupBy(KEY).applyInPandas(fit, schema=schema)

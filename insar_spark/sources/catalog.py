@@ -1,0 +1,205 @@
+"""Tiered table store: snapshot-committed, partition-pruned, resumable.
+
+Iceberg is the target catalog at cluster scale (``write.parquet.compression-
+codec=zstd``, snapshot commits, partition rewrite). The sandbox image ships
+no Iceberg jars, so this module implements the same *semantics* over plain
+Parquet + JSON snapshot manifests, behind one interface — swapping in
+Iceberg means replacing the three ``_fs_*`` primitives with
+``df.writeTo(...)`` / snapshot API calls.
+
+Semantics mirrored from the reference:
+
+* skip-if-committed resume — ``sario.check_dset`` + ``start_layer``
+  re-entry (insar/prepare.py:228, :942; insar/timeseries.py:215-216):
+  an ingest re-run only processes partitions absent from the manifest.
+* per-partition lineage + metrics — run-params YAML
+  (insar/timeseries.py:188-213) generalized: every commit records, per
+  day-partition, the row count and min/max window, plus the run params.
+* tier-expiry compaction — overwrite-dset pattern
+  (insar/prepare.py:228-242): partitions older than the tier's retention
+  horizon are dropped atomically via a manifest commit; the data files go
+  with them.
+
+Layout: ``root/tier=<t>/day=YYYY-MM-DD/*.parquet`` — day partitioning gives
+partition pruning for retention and time-range scans; files within a
+partition are written clustered by ``conv_id`` (repartition + sort) so a
+series rarely spans files (the full-depth-chunk locality rule,
+insar/timeseries.py:152-153).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tier -> retention horizon in days (None = keep forever); the continuous-
+# aggregate pattern: fine tiers age out, coarse tiers persist
+DEFAULT_RETENTION: dict[str, int | None] = {"1m": 7, "1h": 90, "1d": None}
+
+
+@dataclass
+class TierStore:
+    root: str
+    retention: dict[str, int | None] = field(
+        default_factory=lambda: dict(DEFAULT_RETENTION)
+    )
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_path(self, tier: str) -> str:
+        return os.path.join(self.root, "_snapshots", f"{tier}.json")
+
+    def manifest(self, tier: str) -> dict:
+        p = self._manifest_path(tier)
+        if not os.path.exists(p):
+            return {"tier": tier, "snapshots": [], "partitions": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, tier: str, manifest: dict) -> None:
+        p = self._manifest_path(tier)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)  # atomic snapshot commit
+
+    def committed_days(self, tier: str) -> set[str]:
+        return set(self.manifest(tier)["partitions"])
+
+    # ------------------------------------------------------------- write
+
+    def tier_path(self, tier: str, day: str | None = None) -> str:
+        p = os.path.join(self.root, f"tier={tier}")
+        return os.path.join(p, f"day={day}") if day else p
+
+    def write_tier(
+        self,
+        rolled: DataFrame,
+        tier: str,
+        run_params: dict | None = None,
+        files_per_partition: int = 4,
+    ) -> dict:
+        """Append day-partitions of a rollup DataFrame; skip days already
+        committed (idempotent resume). Returns the commit record."""
+        man = self.manifest(tier)
+        done = set(man["partitions"])
+
+        df = rolled.withColumn(
+            "day", F.date_format("window_start", "yyyy-MM-dd")
+        )
+        if done:
+            df = df.filter(~F.col("day").isin(sorted(done)))
+
+        # per-partition metrics collected in the same pass as the write:
+        # cheap agg on the (already shuffled) rollup output
+        stats = {
+            r["day"]: {
+                "rows": r["rows"],
+                "w_min": str(r["w_min"]),
+                "w_max": str(r["w_max"]),
+                "n_series": r["n_series"],
+            }
+            for r in df.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("window_start").alias("w_min"),
+                F.max("window_start").alias("w_max"),
+                F.approx_count_distinct("conv_id").alias("n_series"),
+            )
+            .collect()
+        }
+        if not stats:
+            return {"written_days": [], "skipped_days": sorted(done)}
+
+        (
+            df.repartition(files_per_partition, "day", "conv_id")
+            .sortWithinPartitions("day", "conv_id", "window_start")
+            .write.partitionBy("day")
+            .mode("append")
+            .option("compression", "zstd")
+            .parquet(self.tier_path(tier))
+        )
+
+        snap_id = len(man["snapshots"]) + 1
+        man["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": "append",
+                "days": sorted(stats),
+                "run_params": run_params or {},
+            }
+        )
+        for day, s in stats.items():
+            man["partitions"][day] = {**s, "snapshot": snap_id}
+        self._commit(tier, man)
+        return {"written_days": sorted(stats), "skipped_days": sorted(done)}
+
+    # -------------------------------------------------------------- read
+
+    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        """Scan only partitions live in the manifest (time travel-lite:
+        expired days are invisible even before their files are vacuumed)."""
+        live = sorted(self.committed_days(tier))
+        df = spark.read.option("basePath", self.tier_path(tier)).parquet(
+            *[self.tier_path(tier, d) for d in live]
+        )
+        # partition-column inference would type `day` as DATE; keep the
+        # manifest's string form for a stable schema
+        return df.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+    # --------------------------------------------------- retention / compact
+
+    def expire(self, tier: str, now_day: str) -> list[str]:
+        """Drop partitions past the tier's retention horizon (manifest-first:
+        the commit makes them invisible, then files are vacuumed)."""
+        import datetime as dt
+
+        horizon = self.retention.get(tier)
+        if horizon is None:
+            return []
+        cutoff = (
+            dt.date.fromisoformat(now_day) - dt.timedelta(days=horizon)
+        ).isoformat()
+        man = self.manifest(tier)
+        expired = sorted(d for d in man["partitions"] if d < cutoff)
+        if not expired:
+            return []
+        for d in expired:
+            del man["partitions"][d]
+        man["snapshots"].append(
+            {"id": len(man["snapshots"]) + 1, "op": "expire", "days": expired}
+        )
+        self._commit(tier, man)
+        for d in expired:  # vacuum
+            shutil.rmtree(self.tier_path(tier, d), ignore_errors=True)
+        return expired
+
+    def compact(self, spark: SparkSession, tier: str, day: str) -> int:
+        """Rewrite one day-partition to a single zstd file (small-file
+        compaction; Iceberg rewrite_data_files analog). Returns row count."""
+        path = self.tier_path(tier, day)
+        df = spark.read.parquet(path).cache()
+        n = df.count()
+        tmp = path + ".compact"
+        (
+            df.coalesce(1)
+            .sortWithinPartitions("conv_id", "window_start")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+        df.unpersist()
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        man = self.manifest(tier)
+        man["snapshots"].append(
+            {"id": len(man["snapshots"]) + 1, "op": "compact", "days": [day]}
+        )
+        self._commit(tier, man)
+        return n

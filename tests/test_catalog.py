@@ -1,0 +1,79 @@
+"""TierStore: commit/resume/expire/compact semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from insar_spark.operators.rollup import rollup_turns
+from insar_spark.sources.catalog import TierStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TierStore(str(tmp_path / "tiers"))
+
+
+def test_write_read_roundtrip(spark, transcripts, store):
+    rolled = rollup_turns(transcripts, "1h")
+    res = store.write_tier(rolled, "1h", run_params={"tier": "1h", "seed": 42})
+    assert res["written_days"] and not res["skipped_days"]
+    back = store.read_tier(spark, "1h").drop("day")
+    a = rolled.toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    b = (
+        back.toPandas()[a.columns.tolist()]
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_resume_skips_committed_days(spark, transcripts, store):
+    rolled = rollup_turns(transcripts, "1d")
+    first = store.write_tier(rolled, "1d")
+    n_first = store.read_tier(spark, "1d").count()
+    # re-run the exact same ingest: nothing written, nothing duplicated
+    second = store.write_tier(rolled, "1d")
+    assert second["written_days"] == []
+    assert set(second["skipped_days"]) == set(first["written_days"])
+    assert store.read_tier(spark, "1d").count() == n_first
+
+
+def test_manifest_lineage_and_metrics(spark, transcripts, store):
+    rolled = rollup_turns(transcripts, "1d")
+    store.write_tier(rolled, "1d", run_params={"engine": "insar_spark"})
+    man = store.manifest("1d")
+    assert man["snapshots"][0]["run_params"]["engine"] == "insar_spark"
+    total = sum(p["rows"] for p in man["partitions"].values())
+    assert total == rolled.count()
+    for p in man["partitions"].values():
+        assert p["rows"] > 0 and p["n_series"] > 0 and p["snapshot"] == 1
+
+
+def test_expire_drops_old_partitions(spark, transcripts, store):
+    rolled = rollup_turns(transcripts, "1d")
+    store.write_tier(rolled, "1d")
+    days = sorted(store.committed_days("1d"))
+    store.retention["1d"] = 3
+    # expire as-of 5 days after the last day: everything older than last-2
+    import datetime as dt
+
+    now = (dt.date.fromisoformat(days[-1])).isoformat()
+    expired = store.expire("1d", now)
+    assert expired == [d for d in days if d < (dt.date.fromisoformat(now) - dt.timedelta(days=3)).isoformat()]
+    live = store.read_tier(spark, "1d")
+    remaining_days = {r["day"] for r in live.select("day").distinct().collect()}
+    assert remaining_days == set(days) - set(expired)
+
+
+def test_compact_preserves_rows(spark, transcripts, store):
+    rolled = rollup_turns(transcripts, "1d")
+    store.write_tier(rolled, "1d")
+    day = sorted(store.committed_days("1d"))[0]
+    before = store.read_tier(spark, "1d").filter(f"day = '{day}'").count()
+    n = store.compact(spark, "1d", day)
+    assert n == before
+    after = store.read_tier(spark, "1d").filter(f"day = '{day}'").count()
+    assert after == before
+    ops = [s["op"] for s in store.manifest("1d")["snapshots"]]
+    assert ops == ["append", "compact"]

@@ -1,0 +1,86 @@
+"""Property tests: Gorilla XOR + delta-of-delta round-trips bit-exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from insar_spark.functions.gorilla import (
+    compression_ratio,
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_values_roundtrip_any_float(vals):
+    arr = np.array(vals, dtype=np.float64)
+    out = decode_values(encode_values(arr))
+    # bit-exact: compare raw uint64 views (NaN payloads preserved)
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_timestamps_roundtrip_any_int64(ts):
+    arr = np.array(ts, dtype=np.int64)
+    out = decode_timestamps(encode_timestamps(arr))
+    np.testing.assert_array_equal(arr, out)
+
+
+def test_regular_cadence_compresses_hard():
+    # perfectly regular 1s cadence + constant value: the Gorilla sweet spot
+    ts = np.arange(0, 10_000, dtype=np.int64) * 1_000_000
+    vals = np.full(10_000, 42.5)
+    ratio = compression_ratio(ts, vals)
+    assert ratio > 50  # ~1 bit/point vs 128 bits/point raw
+
+
+def test_counter_like_values_compress():
+    # integer-valued counters with runs of repeats: the realistic rollup
+    # shape (n_turns per window); random-mantissa walks do NOT compress
+    # under XOR and that's expected
+    rng = np.random.default_rng(0)
+    ts = np.cumsum(rng.integers(1, 5, 5000)).astype(np.int64) * 1_000_000
+    vals = np.repeat(rng.integers(0, 30, 1000), 5).astype(np.float64)
+    assert compression_ratio(ts, vals) > 2.0
+
+
+def test_spark_compress_decompress_roundtrip(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.compression import compress_series, decompress_series
+
+    df = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("v")
+    )
+    blobs = compress_series(df)
+    back = decompress_series(blobs)
+    a = df.orderBy("conv_id", "ts").toPandas()
+    b = back.orderBy("conv_id", "ts").toPandas()
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["v"].to_numpy(), b["v"].to_numpy())
+    np.testing.assert_array_equal(
+        a["ts"].to_numpy("datetime64[us]"), b["ts"].to_numpy("datetime64[us]")
+    )
+
+    # blob payload is much smaller than 16 bytes/point on this data
+    sizes = blobs.select(
+        F.sum(F.length("ts_blob") + F.length("v_blob")).alias("enc"),
+        F.sum(F.col("n_points") * 16).alias("raw"),
+    ).first()
+    assert sizes["enc"] < sizes["raw"]
