@@ -831,6 +831,101 @@ def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- training-data ops (wave C)
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (Java regex == RE2 on this pattern)."""
+    from insar_spark.operators.textstats import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+_SQL_TOKENS_BPE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS bpe_ish_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (UDF signatures; verified Jaccard).
+    Rows-only driver check; operator correctness in tests/test_dedup_similarity.py."""
+    from insar_spark.operators.dedup import minhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5).select(
+        "id_a", "id_b", _r("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.dedup import simhash_near_dups, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash_signatures(docs), max_hamming=10)
+
+
+def q_dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.textstats import (
+        fingerprint_candidates,
+        winnowing_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_candidates(winnowing_fingerprints(docs))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.textstats import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", _r("lang_score", 4).alias("lang_score")
+    )
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return hyperplane_lsh_topk(emb, qv, k=20, n_bits=10).select(
+        "vec_id", _r("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    C = train_centroids(emb, n_centroids=8, sample_rows=512)
+    return ivf_topk(emb, qv, C, k=20, n_probe=3).select(
+        "vec_id", _r("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insar_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=64)).select(
+        "media_id",
+        "kind",
+        _r("feat_mean", 4).alias("feat_mean"),
+        _r("feat_std", 4).alias("feat_std"),
+        "n_bytes",
+    )
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -900,6 +995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_lowess_smooth": q_w5_lowess_smooth,
         "w7_gapfill_spline": q_w7_gapfill_spline,
         "gorilla_compress_stats": q_gorilla_compress_stats,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_fingerprint_pairs": q_dedup_fingerprint_pairs,
+        "lang_id_heuristic": q_lang_id,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -936,7 +1039,10 @@ def oracle_sql() -> dict[str, str]:
         "a11_velocity_linear": _SQL_A11,
         "c1_regexp_extract": _SQL_C1,
         "sbas_solve_bandwidth1": _SQL_SBAS_BW1,
-        # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats:
-        # non-SQL-expressible UDF paths — rows-only driver check; exactness
-        # proven by kernel-parity pytest oracles
+        "text_tokens_bpe": _SQL_TOKENS_BPE,
+        # Non-SQL-expressible UDF paths (rows-only driver check; exactness
+        # proven by kernel-parity / planted-fixture pytest oracles):
+        # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats,
+        # dedup_minhash_pairs, dedup_simhash_pairs, dedup_fingerprint_pairs,
+        # lang_id_heuristic, sim_lsh_topk, sim_ivf_topk, multimodal_features
     }

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k, all JVM-side (zip_with +
+  aggregate; no Python). The correctness baseline.
+* ``hyperplane_lsh`` — random-hyperplane signature buckets; candidates from
+  the query's bucket (multi-probe by flipping low-confidence bits), exact
+  rerank. The scale path: one broadcast of the hyperplanes, shuffle only on
+  bucket keys.
+* ``ivf_topk`` — IVF: deterministic k-means (seeded Lloyd on a sample,
+  driver-side numpy), assign via vectorized UDF, probe the closest
+  ``n_probe`` centroids, exact rerank inside the probed cells. At 100 TB
+  the assignment is a write-time partition key, making a query touch
+  n_probe/k of the data.
+
+Embedding cosine near-dup (dedup by embedding) = ``hyperplane_lsh`` pairs
+mode via ``embedding_near_dups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (JVM only)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    H = rng.normal(size=(n_bits, dim))
+    return H / np.linalg.norm(H, axis=1, keepdims=True)
+
+
+def hyperplane_signatures(
+    emb: DataFrame, dim: int, n_bits: int = 16, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) where bucket = sign-bit signature under random planes."""
+    H = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (M @ H.T) > 0  # (batch, n_bits)
+        return pd.Series(
+            (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
+        )
+
+    return emb.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    n_bits: int = 12, seed: int = 7, multiprobe_bits: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query bucket + all buckets within
+    ``multiprobe_bits`` bit flips, exact-rerank candidates."""
+    dim = len(query_vec)
+    H = _hyperplanes(dim, n_bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (H @ qv) > 0
+    qb = int((qbits * (1 << np.arange(n_bits))).sum())
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_bits)}
+    if multiprobe_bits >= 2:
+        probes |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        }
+    sigs = hyperplane_signatures(emb, dim, n_bits, seed, id_col, vec_col)
+    cand = sigs.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_bits: int = 12, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: LSH-bucket candidates,
+    exact cosine verify >= threshold."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    sigs = hyperplane_signatures(emb, dim, n_bits, seed, id_col, vec_col)
+    hot = sigs.groupBy("bucket").count().filter("count > 1").drop("count")
+    s2 = sigs.join(hot, "bucket", "left_semi")
+    a = s2.alias("a")
+    b = s2.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(id_col) < F.col("id_b"))
+        .select(
+            F.col(id_col).alias("id_a"),
+            "id_b",
+            cosine_col(F.col(vec_col), F.col("vec_b")).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------- IVF
+
+
+def train_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 5, seed: int = 11,
+    sample_rows: int = 4096, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini Lloyd's on a seeded sample (driver-side numpy).
+
+    At cluster scale you'd train on a fraction and broadcast; the sample is
+    taken with a fixed seed so runs are reproducible.
+    """
+    sample = np.stack(
+        emb.select(vec_col)
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = sample[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    C = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        d2 = (M**2).sum(1)[:, None] - 2 * M @ C.T + (C**2).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col), F.col(vec_col), cell(F.col(vec_col)).alias("cell"))
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2)[:n_probe]]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("cell").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,207 @@
+"""Dedup + similarity + textstats + multimodal operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark rolls "
+        "windows and joins tables across many partitions of data"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about weather patterns in the alps"),
+        (4, "short one"),
+        (5, base + " with a small suffix appended here"),  # near dup
+        (6, "another unrelated document mentioning databases and query engines"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    from insar_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs_with_dups, threshold=0.5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    # unrelated docs never pair
+    assert not any(3 in p or 6 in p for p in found)
+    # exact dup has jaccard 1.0
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert exact["jaccard"].iloc[0] == pytest.approx(1.0)
+
+
+def test_minhash_signature_deterministic(spark, docs_with_dups):
+    from insar_spark.operators.dedup import minhash_signatures
+
+    a = minhash_signatures(docs_with_dups).toPandas().set_index("doc_id")["sig"]
+    b = minhash_signatures(docs_with_dups).toPandas().set_index("doc_id")["sig"]
+    for i in a.index:
+        assert list(a[i]) == list(b[i])
+    # identical docs -> identical signatures
+    assert list(a[0]) == list(a[1])
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    from insar_spark.operators.dedup import simhash_near_dups, simhash_signatures
+
+    sigs = simhash_signatures(docs_with_dups)
+    pairs = simhash_near_dups(sigs, max_hamming=8).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found
+    h01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0]
+    assert h01 == 0
+
+
+def test_brute_force_vs_lsh_vs_ivf_topk(spark, tmp_path):
+    from insar_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrow = emb.filter("vec_id = 7").first()
+    qv = [float(x) for x in qrow["embedding"]]
+
+    exact = brute_force_topk(emb, qv, k=10).toPandas()
+    assert exact["vec_id"].iloc[0] == 7  # self is most similar
+    assert exact["cos_sim"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert exact["cos_sim"].is_monotonic_decreasing
+
+    # on uniform random embeddings ANN recall is meaningless (neighbors are
+    # near-orthogonal); assert self-retrieval only
+    lsh = hyperplane_lsh_topk(emb, qv, k=10, n_bits=10, multiprobe_bits=2).toPandas()
+    assert lsh["vec_id"].iloc[0] == 7
+
+    C = train_centroids(emb, n_centroids=8, sample_rows=500)
+    ivf = ivf_topk(emb, qv, C, k=10, n_probe=3).toPandas()
+    assert ivf["vec_id"].iloc[0] == 7
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """Planted-cluster data: LSH and IVF must recover the true neighbors."""
+    from insar_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(5, 24)) * 4
+    V = np.vstack(
+        [c + rng.normal(0, 0.3, size=(40, 24)) for c in centers]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(len(V)), "embedding": list(map(list, V))})
+    emb = spark.createDataFrame(pdf).cache()
+    qv = [float(x) for x in V[3]]  # a member of cluster 0
+
+    exact = set(brute_force_topk(emb, qv, k=10).toPandas().vec_id)
+    lsh = set(
+        hyperplane_lsh_topk(emb, qv, k=10, n_bits=10, multiprobe_bits=2)
+        .toPandas()
+        .vec_id
+    )
+    assert len(lsh & exact) / 10 >= 0.8
+
+    C = train_centroids(emb, n_centroids=5, sample_rows=200, iters=8)
+    ivf = set(ivf_topk(emb, qv, C, k=10, n_probe=2).toPandas().vec_id)
+    assert len(ivf & exact) / 10 >= 0.8
+    emb.unpersist()
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    from insar_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(60, 16)).astype(np.float32)
+    V[13] = V[7] + rng.normal(0, 0.01, 16).astype(np.float32)  # planted near-dup
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": list(map(list, V))})
+    emb = spark.createDataFrame(pdf)
+    pairs = embedding_near_dups(emb, threshold=0.98, n_bits=8).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (7, 13) in found
+
+
+def test_lang_id(spark):
+    from insar_spark.operators.textstats import lang_id
+
+    rows = [
+        (0, "the cat sat on the mat and it was happy with the sun"),
+        (1, "el perro corre por la calle y no quiere parar con su amigo"),
+        (2, "der hund läuft durch die stadt und das ist gut für ihn im park"),
+        (3, "le chat est dans la maison et il mange du pain pour le matin"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = lang_id(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "es"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "fr"
+    assert out.loc[4, "lang_pred"] == "und"
+
+
+def test_token_stats_and_quality(spark, docs_with_dups):
+    from insar_spark.operators.textstats import quality_scores, token_stats
+
+    ts = token_stats(docs_with_dups).toPandas().set_index("doc_id")
+    assert ts.loc[4, "ws_tokens"] == 2
+    assert (ts["bpe_ish_tokens"] >= ts["ws_tokens"]).all()
+
+    q = quality_scores(docs_with_dups).toPandas().set_index("doc_id")
+    assert ((q["alpha_ratio"] > 0.5) & (q["alpha_ratio"] <= 1.0)).all()
+    assert (q["repetition_ratio"] >= 0).all()
+    # doc 0 repeats 'the' -> nonzero repetition
+    assert q.loc[0, "repetition_ratio"] > 0
+
+
+def test_winnowing_fingerprints(spark, docs_with_dups):
+    from insar_spark.operators.textstats import (
+        fingerprint_candidates,
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(docs_with_dups)
+    pdf = fps.toPandas().set_index("doc_id")["fingerprints"]
+    assert list(pdf[0]) == list(pdf[1])  # identical docs, identical prints
+    cands = fingerprint_candidates(fps).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(cands.id_a, cands.id_b)}
+    assert (0, 1) in found
+    assert (0, 5) in found  # shared prefix fingerprints
+    assert not any(p == (3, 6) for p in found)
+
+
+def test_multimodal_plumbing(spark):
+    from insar_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, max_batch_bytes=4096).toPandas()
+    assert len(feats) == 30
+    assert (feats["n_bytes"] > 0).all()
+    assert ((feats["feat_mean"] >= 0) & (feats["feat_mean"] <= 255)).all()
+    assert feats["thumb"].map(len).max() <= 16
+    # deterministic: second run identical
+    feats2 = extract_features(media, max_batch_bytes=1 << 30).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    frames = frame_sample(media, every_n=7).toPandas()
+    assert (frames["frame_idx"] % 7 == 0).all()
