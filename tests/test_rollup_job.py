@@ -1,0 +1,48 @@
+"""End-to-end rollup job: write, resume, expire, cascade-from-storage."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from jobs.rollup_job import main as job_main
+
+
+def test_job_end_to_end_and_resume(spark, tmp_path):
+    store_path = str(tmp_path / "tiers")
+    m1 = job_main(["--input", "synth:60", "--store", store_path, "--master", "local[4]"])
+    assert m1["tiers"]["1m"]["written_days"] > 0
+    assert m1["rolled_up_points"] > 0
+
+    # resume: nothing re-written, identical point count
+    m2 = job_main(["--input", "synth:60", "--store", store_path, "--master", "local[4]"])
+    assert m2["tiers"]["1m"]["written_days"] == 0
+    assert m2["tiers"]["1m"]["skipped_days"] == m1["tiers"]["1m"]["written_days"]
+    assert m2["rolled_up_points"] == m1["rolled_up_points"]
+
+
+def test_job_cascade_matches_direct(spark, tmp_path):
+    """1h tier built from the STORED 1m tier == direct 1h rollup of raw."""
+    from insar_spark.operators.rollup import rollup_turns
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.synth import synth_transcripts
+
+    store_path = str(tmp_path / "tiers2")
+    job_main(["--input", "synth:60", "--store", store_path, "--master", "local[4]"])
+    store = TierStore(store_path)
+    stored_1h = (
+        store.read_tier(spark, "1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    turns = synth_transcripts(spark, n_convs=60)
+    direct = (
+        rollup_turns(turns, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        stored_1h[direct.columns.tolist()], direct, check_exact=True
+    )

@@ -1,0 +1,117 @@
+"""Streaming rollup + explicit skew handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from insar_spark.operators.rollup import rollup_turns
+from insar_spark.operators.series import turn_deltas, with_text_len
+from insar_spark.operators.skew import (
+    chunked_turn_deltas,
+    route_by_size,
+    salted_two_phase_rollup,
+)
+from insar_spark.synth import synth_transcripts
+
+
+def _sorted(pdf, cols):
+    return pdf.sort_values(cols).reset_index(drop=True)
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path, transcripts):
+    """File-source streaming 1m rollup == batch 1m rollup on the same data."""
+    from insar_spark.streaming.rollup_stream import run_stream_to_memory
+
+    src = str(tmp_path / "stream_src")
+    transcripts.write.mode("overwrite").parquet(src)
+
+    run_stream_to_memory(spark, src, query_name="t1m")
+    got = _sorted(
+        spark.sql("SELECT * FROM t1m").toPandas(), ["conv_id", "window_start"]
+    )
+    exp = _sorted(rollup_turns(transcripts, "1m").toPandas(), ["conv_id", "window_start"])
+    assert len(got) == len(exp)
+    for c in ["n_turns", "n_tool_calls", "sum_text_len", "first_text_len", "last_text_len"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy("float64"), exp[c].to_numpy("float64"), err_msg=c
+        )
+
+
+def test_session_window_metric(spark, tmp_path, transcripts):
+    from insar_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        stateful_session_metric,
+    )
+
+    src = str(tmp_path / "stream_src2")
+    transcripts.filter("conv_id < 'conv00000004'").write.mode("overwrite").parquet(src)
+    q = (
+        stateful_session_metric(read_transcript_stream(spark, src))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sessions").toPandas()
+    assert len(out) > 0
+    assert (out["session_end"] > out["session_start"]).all()
+    assert (out["n_turns"] >= 1).all()
+    # sessions of one conversation never overlap
+    for _, g in out.groupby("conv_id"):
+        g = g.sort_values("session_start")
+        assert (
+            g["session_start"].iloc[1:].to_numpy()
+            >= g["session_end"].iloc[:-1].to_numpy()
+        ).all()
+
+
+def test_salted_rollup_equals_plain(spark, transcripts):
+    plain = _sorted(
+        rollup_turns(transcripts, "1m")
+        .select("conv_id", "window_start", "n_turns", "n_tool_calls",
+                "sum_text_len", "min_text_len", "max_text_len")
+        .toPandas(),
+        ["conv_id", "window_start"],
+    )
+    salted = _sorted(
+        salted_two_phase_rollup(transcripts, "minute", n_salt=8).toPandas(),
+        ["conv_id", "window_start"],
+    )
+    pd.testing.assert_frame_equal(plain, salted, check_exact=True)
+
+
+def test_chunked_deltas_bitwise_equal(spark):
+    df = with_text_len(
+        synth_transcripts(spark, n_convs=6, seed=3, mega_every=3, mega_turns=5000)
+    )
+    plain = _sorted(
+        turn_deltas(df).select("conv_id", "turn_idx", "delta_v", "dt_sec").toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    chunked = _sorted(
+        chunked_turn_deltas(df, chunk_size=700)
+        .select("conv_id", "turn_idx", "delta_v", "dt_sec")
+        .toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    pd.testing.assert_frame_equal(plain, chunked, check_exact=True)
+
+
+def test_route_by_size_equals_plain(spark):
+    df = with_text_len(
+        synth_transcripts(spark, n_convs=8, seed=4, mega_every=4, mega_turns=3000)
+    )
+    plain = _sorted(
+        turn_deltas(df).select("conv_id", "turn_idx", "delta_v").toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    routed = _sorted(
+        route_by_size(df, mega_threshold=1000, chunk_size=500)
+        .select("conv_id", "turn_idx", "delta_v")
+        .toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    pd.testing.assert_frame_equal(plain, routed, check_exact=True)
