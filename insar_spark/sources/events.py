@@ -65,14 +65,26 @@ def events_series(
         ev = ev.filter(F.col("ts") >= ts_min)
     if ts_max is not None:
         ev = ev.filter(F.col("ts") < ts_max)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Select conv_id FIRST and partition the row_number window by it: the
+    # one raw-size exchange this induces is then reused by every downstream
+    # per-series window/groupBy on conv_id (HashPartitioning(conv_id)
+    # satisfies ClusteredDistribution(conv_id, ...)) — without this, each
+    # operator pays a second raw-size shuffle on the casted key.
+    ev = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        F.col("value").alias("v"),
+        "event_type",
+        "event_id",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     rn = F.row_number().over(w) - F.lit(1)
     return ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
+        "conv_id",
         rn.cast("int").alias("turn_idx"),
-        F.col("ts"),
-        F.col("value").alias("v"),
-        F.col("event_type"),
+        "ts",
+        "v",
+        "event_type",
         (
             F.floor(F.unix_micros("ts") / F.lit(1000)) * F.lit(1 << 20)
             + rn.cast("bigint")
