@@ -926,6 +926,135 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ wave D operators
+
+
+def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: backward as-of alignment of two per-series streams (GPS↔InSAR
+    pattern, insar/scripts/create_east_up.py:287-302): align each error
+    event with the latest prior purchase value of the same series."""
+    from insar_spark.operators.asof import asof_join_backward
+
+    t = events_series(spark, sf_dir)
+    lefts = t.filter(F.col("event_type") == "error").select(
+        "conv_id", "ts", "turn_idx", "v"
+    )
+    rights = t.filter(F.col("event_type") == "purchase").select("conv_id", "ts", "v")
+    out = asof_join_backward(lefts, rights, right_value_cols=("v",))
+    return out.select(
+        "conv_id", "turn_idx", _r("v").alias("v"), _r("v_asof").alias("v_asof")
+    )
+
+
+_SQL_J6 = (
+    SERIES_CTE
+    + """
+, lefts AS (SELECT conv_id, ts, turn_idx, v FROM t WHERE event_type = 'error'),
+rights AS (SELECT conv_id, ts, v FROM t WHERE event_type = 'purchase')
+SELECT l.conv_id, l.turn_idx, round(l.v, 6) AS v, round(r.v, 6) AS v_asof
+FROM lefts l ASOF LEFT JOIN rights r
+  ON l.conv_id = r.conv_id AND l.ts >= r.ts
+"""
+)
+
+
+def q_c7_rewrap_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: rewrap values into (-pi, pi] (insar/ts_utils.py:371-389):
+    mod(p + pi, 2 pi) - pi, applied to v as a pseudo-phase."""
+    import math
+
+    t = events_series(spark, sf_dir)
+    two_pi = 2 * math.pi
+    wrapped = F.pmod(F.col("v") + F.lit(math.pi), F.lit(two_pi)) - F.lit(math.pi)
+    return t.select("conv_id", "turn_idx", _r(wrapped).alias("v_wrapped"))
+
+
+_SQL_C7 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(((v + pi()) - floor((v + pi()) / (2 * pi())) * (2 * pi())) - pi(), 6)
+         AS v_wrapped
+FROM t
+"""
+)
+
+
+def q_c8_closure_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: triplet closure d(i,i+1) + d(i+1,i+2) - d(i,i+2) over consecutive
+    turns (insar/ts_utils.py:392-439) — zero iff deltas are consistent,
+    which adjacent-difference networks are by construction; expressed with
+    lead() windows, no join."""
+    t = events_series(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    d01 = F.lead("v", 1).over(w) - F.col("v")
+    d12 = F.lead("v", 2).over(w) - F.lead("v", 1).over(w)
+    d02 = F.lead("v", 2).over(w) - F.col("v")
+    return (
+        t.select(
+            "conv_id", "turn_idx", _r(d01 + d12 - d02).alias("closure")
+        )
+        .filter(F.col("closure").isNotNull())
+    )
+
+
+_SQL_C8 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round((lead(v, 1) OVER w - v) + (lead(v, 2) OVER w - lead(v, 1) OVER w)
+             - (lead(v, 2) OVER w - v), 6) AS closure
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+QUALIFY lead(v, 2) OVER w IS NOT NULL
+"""
+)
+
+
+def q_j3_dims_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: merge per-series stats with a dimension table (the baseline-table
+    merge, insar/ts_utils.py:541-564) — broadcast hash join, no shuffle of
+    the big side."""
+    t = events_series(spark, sf_dir)
+    stats = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), _r(F.sum("v")).alias("sum_v")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return stats.join(F.broadcast(cust), "conv_id", "inner").select(
+        "conv_id", "segment", "n_turns", "sum_v"
+    )
+
+
+_SQL_J3 = (
+    SERIES_CTE
+    + """
+, stats AS (
+  SELECT conv_id, count(*) AS n_turns, round(sum(v), 6) AS sum_v
+  FROM t GROUP BY conv_id
+)
+SELECT s.conv_id, c.c_mktsegment AS segment, s.n_turns, s.sum_v
+FROM stats s JOIN customer c ON c.c_custkey = cast(s.conv_id AS bigint)
+"""
+)
+
+
+def q_a9_l1_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: L1 inversion per series via IRLS (UDF path; on the consistent
+    bandwidth-1 network the L1 and L2 solutions coincide, so the same
+    cumsum oracle applies)."""
+    from insar_spark.operators import series as S2
+    from insar_spark.operators.sbas import invert_pairs
+
+    t = events_series(spark, sf_dir)
+    pairs = S2.adjacent_pairs(t, "v", k=1)
+    out = invert_pairs(pairs, prefilter=False, l1=True)
+    return out.select(
+        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+    )
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -1003,6 +1132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "j6_asof_join": q_j6_asof_join,
+        "c7_rewrap_phase": q_c7_rewrap_phase,
+        "c8_closure_phase": q_c8_closure_phase,
+        "j3_dims_broadcast_join": q_j3_dims_broadcast_join,
+        "a9_l1_solve": q_a9_l1_solve,
     }
 
 
@@ -1040,6 +1174,11 @@ def oracle_sql() -> dict[str, str]:
         "c1_regexp_extract": _SQL_C1,
         "sbas_solve_bandwidth1": _SQL_SBAS_BW1,
         "text_tokens_bpe": _SQL_TOKENS_BPE,
+        "j6_asof_join": _SQL_J6,
+        "c7_rewrap_phase": _SQL_C7,
+        "c8_closure_phase": _SQL_C8,
+        "j3_dims_broadcast_join": _SQL_J3,
+        "a9_l1_solve": _SQL_SBAS_BW1,
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
         # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats,

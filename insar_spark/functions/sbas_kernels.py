@@ -127,6 +127,56 @@ def temporal_coherence(residuals: np.ndarray) -> np.ndarray | float:
     return c
 
 
+def invert_sbas_l1(
+    deltas: np.ndarray, G: np.ndarray, iters: int = 30, eps: float = 1e-8
+) -> np.ndarray:
+    """A9: L1-norm solve  min ||G x - d||_1  via IRLS.
+
+    The reference uses cvxpy (insar/ts_utils.py:469-505 ``solve_l1``); IRLS
+    (iteratively reweighted least squares, w = 1/max(|r|, eps)) converges to
+    the same minimizer for this smooth-free problem without an external
+    solver dependency. Robust to gross outlier pairs, unlike the L2 path.
+    """
+    d = np.nan_to_num(np.asarray(deltas, dtype=np.float64), nan=0.0)
+    G = np.asarray(G, dtype=np.float64)
+    x, _ = invert_sbas(d, G)  # L2 start
+    for _ in range(iters):
+        r = d - G @ x
+        w = 1.0 / np.maximum(np.abs(r), eps)
+        GtWG = G.T @ (G * w.reshape(-1, 1))
+        GtWd = G.T @ (w * d)
+        try:
+            L, low = _cho_factor(GtWG)
+            x_new = _cho_solve(L, low, GtWd)
+        except np.linalg.LinAlgError:
+            x_new = np.linalg.pinv(GtWG) @ GtWd
+        if np.allclose(x_new, x, atol=1e-12, rtol=1e-10):
+            x = x_new
+            break
+        x = x_new
+    return x
+
+
+def closure_phases(
+    date_nums: np.ndarray, early: np.ndarray, late: np.ndarray, deltas: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """C8: triplet closure  d(i,j) + d(j,k) - d(i,k)  for consecutive-date
+    triplets present in the pair network (insar/ts_utils.py:392-439).
+
+    Returns (triplet first-date array, closure values). Exactly zero for a
+    consistent (noise-free) network — the engine's network-integrity
+    diagnostic.
+    """
+    pair = {(float(e), float(l)): float(d) for e, l, d in zip(early, late, deltas)}
+    firsts, closures = [], []
+    for i in range(len(date_nums) - 2):
+        a, b, c = date_nums[i], date_nums[i + 1], date_nums[i + 2]
+        if ((a, b) in pair) and ((b, c) in pair) and ((a, c) in pair):
+            firsts.append(a)
+            closures.append(pair[(a, b)] + pair[(b, c)] - pair[(a, c)])
+    return np.asarray(firsts), np.asarray(closures)
+
+
 def solve_series(
     date_nums: np.ndarray,
     early: np.ndarray,
@@ -135,11 +185,13 @@ def solve_series(
     use_b_matrix: bool = False,
     weights: np.ndarray | None = None,
     scale: float = 1.0,
+    l1: bool = False,
 ) -> tuple[np.ndarray, float]:
     """Full per-series solve: pairs (early, late, delta) -> cumulative phases.
 
     Returns (phases aligned to date_nums (N,), temporal coherence). The
-    all-zero short-circuit mirrors insar/timeseries.py:512-516.
+    all-zero short-circuit mirrors insar/timeseries.py:512-516. ``l1``
+    switches to the IRLS L1 path (A9).
     """
     d = np.nan_to_num(np.asarray(deltas, dtype=np.float64), nan=0.0)
     n = len(date_nums)
@@ -147,11 +199,19 @@ def solve_series(
         return np.zeros(n), 0.0
     if use_b_matrix:
         G = build_B(date_nums, early, late)
-        vel, resid = invert_sbas(d, G, weights)
+        if l1:
+            vel = invert_sbas_l1(d, G)
+            resid = d - G @ vel
+        else:
+            vel, resid = invert_sbas(d, G, weights)
         phases = integrate_velocities(vel, np.diff(date_nums))
     else:
         G = build_A(date_nums, early, late)
-        soln, resid = invert_sbas(d, G, weights)
+        if l1:
+            soln = invert_sbas_l1(d, G)
+            resid = d - G @ soln
+        else:
+            soln, resid = invert_sbas(d, G, weights)
         phases = np.concatenate([[0.0], np.atleast_1d(soln)])
     coh = float(np.atleast_1d(temporal_coherence(resid))[0])
     return phases * scale, coh

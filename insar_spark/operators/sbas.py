@@ -55,6 +55,7 @@ def invert_pairs(
     weight_col: str | None = None,
     scale: float = 1.0,
     prefilter: bool = True,
+    l1: bool = False,
 ) -> DataFrame:
     """Solve A·φ = Δφ per conv_id over a pair table.
 
@@ -97,6 +98,7 @@ def invert_pairs(
             use_b_matrix=use_b_matrix,
             weights=weights,
             scale=scale,
+            l1=l1,
         )
         return pd.DataFrame(
             {
