@@ -78,6 +78,68 @@ class TierStore:
         p = os.path.join(self.root, f"tier={tier}")
         return os.path.join(p, f"day={day}") if day else p
 
+    def write_tier_log(
+        self,
+        rolled: DataFrame,
+        tier: str,
+        epoch: int,
+        run_params: dict | None = None,
+    ) -> dict:
+        """Streaming-append commit: epoch-tagged batch of (possibly refined)
+        windows, no day skipping.
+
+        Exactly-once: a replayed epoch (foreachBatch re-execution after a
+        crash) is dropped by the manifest tag check. Refinements of the
+        same (conv_id, window) across epochs are resolved at read time —
+        latest epoch wins (see read_tier_log) — the append-log +
+        compact-on-read pattern of streaming upserts into Iceberg.
+        """
+        man = self.manifest(tier)
+        tag = f"epoch-{epoch}"
+        if any(s.get("tag") == tag for s in man["snapshots"]):
+            return {"written": 0, "skipped_epoch": epoch}
+        df = rolled.withColumn("_epoch", F.lit(int(epoch))).withColumn(
+            "day", F.date_format("window_start", "yyyy-MM-dd")
+        )
+        n = df.count()
+        (
+            df.repartition(2, "day")
+            .write.partitionBy("day")
+            .mode("append")
+            .option("compression", "zstd")
+            .parquet(self.tier_path(tier))
+        )
+        man["snapshots"].append(
+            {
+                "id": len(man["snapshots"]) + 1,
+                "op": "append-log",
+                "tag": tag,
+                "rows": n,
+                "run_params": run_params or {},
+            }
+        )
+        days = {
+            r["day"] for r in df.select("day").distinct().collect()
+        }
+        for d in days:
+            man["partitions"].setdefault(d, {"rows": None, "log": True})
+        self._commit(tier, man)
+        return {"written": n, "skipped_epoch": None}
+
+    def read_tier_log(self, spark: SparkSession, tier: str) -> DataFrame:
+        """Latest-epoch-wins view over a log-mode tier."""
+        from pyspark.sql import Window
+
+        df = self.read_tier(spark, tier)
+        w = Window.partitionBy("conv_id", "window_start").orderBy(
+            F.desc("_epoch")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_epoch")
+        )
+
     def write_tier(
         self,
         rolled: DataFrame,

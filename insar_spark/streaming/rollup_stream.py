@@ -98,6 +98,42 @@ def run_stream_to_memory(
     return q
 
 
+def stream_to_tierstore(
+    spark: SparkSession,
+    src_path: str,
+    store,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Continuous 1m-tier ingestion committed through TierStore.
+
+    ``foreachBatch`` gives exactly-once at the partition level: each
+    micro-batch's rollup goes through the same snapshot-manifest commit as
+    batch ingest, so replays skip already-committed day-partitions and a
+    crash between write and commit is healed by the next batch (the
+    reference's check_dset/start_layer resume, insar/prepare.py:228,942).
+    Update-mode emits refined windows as late turns arrive within the
+    watermark; the TierStore day-commit granularity means a day is sealed
+    once its last window has been finalized.
+    """
+    stream = streaming_rollup_1m(read_transcript_stream(spark, src_path), watermark)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_tier_log(
+            batch_df, "1m", epoch=epoch_id,
+            run_params={"source": "stream"},
+        )
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def stateful_session_metric(
     turns: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:
