@@ -1055,6 +1055,37 @@ def q_a9_l1_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detrend_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deramp analog: per-series linear detrend via regr_* closed form
+    (insar/prepare.py deramp semantics over the series domain)."""
+    from insar_spark.operators.smoothing import detrend_linear
+
+    t = events_series(spark, sf_dir)
+    return detrend_linear(t, "v").select(
+        "conv_id", "turn_idx", _r("v_detrended", 4).alias("v_detrended")
+    )
+
+
+# identical x convention to operators.smoothing.detrend_linear (plain
+# epoch-days) so the subtraction cancels the same way on both sides
+_X_DAYS = "epoch_us(ts) / 86400000000.0"
+
+_SQL_DETREND = (
+    SERIES_CTE
+    + f"""
+, fit AS (
+  SELECT conv_id,
+         regr_slope(v, {_X_DAYS})     AS b,
+         regr_intercept(v, {_X_DAYS}) AS a
+  FROM t GROUP BY conv_id
+)
+SELECT t.conv_id, t.turn_idx,
+       round(t.v - (fit.a + fit.b * ({_X_DAYS})), 4) AS v_detrended
+FROM t JOIN fit USING (conv_id)
+"""
+)
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -1137,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_closure_phase": q_c8_closure_phase,
         "j3_dims_broadcast_join": q_j3_dims_broadcast_join,
         "a9_l1_solve": q_a9_l1_solve,
+        "detrend_linear": q_detrend_linear,
     }
 
 
@@ -1179,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "c8_closure_phase": _SQL_C8,
         "j3_dims_broadcast_join": _SQL_J3,
         "a9_l1_solve": _SQL_SBAS_BW1,
+        "detrend_linear": _SQL_DETREND,
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
         # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats,

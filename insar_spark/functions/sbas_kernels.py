@@ -127,6 +127,97 @@ def temporal_coherence(residuals: np.ndarray) -> np.ndarray | float:
     return c
 
 
+def create_diff_matrix(n: int, order: int = 1) -> np.ndarray:
+    """Adjacent-difference regularization matrix (insar/ts_utils.py:245-270).
+
+    Goldens (reference doctest): order 1 -> [[1,-1,0,0],[0,1,-1,0],[0,0,1,-1]];
+    order 2 -> tridiagonal [-1, 2, -1] with 1s at the ends.
+    """
+    if order == 1:
+        D = np.eye(n, dtype=np.int64) - np.diag(np.ones(n - 1, dtype=np.int64), k=1)
+        return D[:-1, :]
+    if order == 2:
+        D = (
+            2 * np.eye(n, dtype=np.int64)
+            - np.diag(np.ones(n - 1, dtype=np.int64), k=1)
+            - np.diag(np.ones(n - 1, dtype=np.int64), k=-1)
+        )
+        D[0, 0] = 1
+        D[-1, -1] = 1
+        return D
+    raise ValueError(f"order must be 1 or 2, got {order}")
+
+
+def regularize_G(
+    G: np.ndarray,
+    alpha: float = 0.0,
+    difference: bool = False,
+    constant_velocity: bool = False,
+) -> np.ndarray:
+    """prepB adjustments (insar/ts_utils.py:205-222): collapse to a single
+    constant-velocity column, or augment with alpha * (I | diff-matrix)
+    rows (Tikhonov / smoothness regularization). The data vector must be
+    zero-padded to match (see invert_regularized)."""
+    if constant_velocity:
+        return np.sum(G, axis=1).reshape(-1, 1)
+    if alpha > 0:
+        R = create_diff_matrix(G.shape[1]) if difference else np.eye(G.shape[1])
+        return np.vstack([G, alpha * R])
+    return G
+
+
+def invert_regularized(
+    deltas: np.ndarray,
+    G: np.ndarray,
+    alpha: float = 0.0,
+    difference: bool = False,
+    constant_velocity: bool = False,
+) -> np.ndarray:
+    """Regularized least squares: augment G per regularize_G, zero-pad d."""
+    d = np.nan_to_num(np.asarray(deltas, dtype=np.float64), nan=0.0)
+    Ga = regularize_G(G, alpha, difference, constant_velocity)
+    pad = Ga.shape[0] - G.shape[0]
+    if pad > 0:
+        zeros = np.zeros((pad,) if d.ndim == 1 else (pad, d.shape[1]))
+        d = np.concatenate([d, zeros], axis=0)
+    soln, _ = invert_sbas(d, Ga)
+    return soln
+
+
+def estimate_ramp(z: np.ndarray, order: int = 1) -> np.ndarray:
+    """Least-squares plane/quadratic fit over a 2-D grid
+    (insar/timeseries.py _estimate_ramp; golden: z=(1..7 step2)^T+(0..3)
+    -> coeffs (1, 1, 2)). Kept for operator parity; the transcript-domain
+    analog of deramp is per-series detrend (operators.smoothing.detrend)."""
+    rows, cols = z.shape
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    x = xx.ravel().astype(np.float64)
+    y = yy.ravel().astype(np.float64)
+    if order == 1:
+        A = np.column_stack([np.ones_like(x), x, y])
+    elif order == 2:
+        A = np.column_stack([np.ones_like(x), x, y, x * y, x**2, y**2])
+    else:
+        raise ValueError("order must be 1 or 2")
+    coeffs, *_ = np.linalg.lstsq(A, z.ravel().astype(np.float64), rcond=None)
+    return coeffs
+
+
+def remove_ramp(z: np.ndarray, order: int = 1) -> np.ndarray:
+    """Subtract the fitted ramp surface (insar/timeseries.py remove_ramp)."""
+    rows, cols = z.shape
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    c = estimate_ramp(z, order)
+    if order == 1:
+        ramp = c[0] + c[1] * xx + c[2] * yy
+    else:
+        ramp = (
+            c[0] + c[1] * xx + c[2] * yy + c[3] * xx * yy
+            + c[4] * xx**2 + c[5] * yy**2
+        )
+    return z - ramp
+
+
 def invert_sbas_l1(
     deltas: np.ndarray, G: np.ndarray, iters: int = 30, eps: float = 1e-8
 ) -> np.ndarray:

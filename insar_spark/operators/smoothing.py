@@ -79,6 +79,27 @@ def polyfit_deg1(df: DataFrame, value_col: str = "v") -> DataFrame:
     )
 
 
+def detrend_linear(df: DataFrame, value_col: str = "v") -> DataFrame:
+    """Per-series linear detrend — the transcript analog of deramp
+    (insar/prepare.py deramp_and_shift_unws: remove the fitted ramp, keep
+    the residual signal). Pure JVM: regr_slope/intercept per series, then
+    a broadcastable join back and a subtract; no UDF, two exchanges max
+    (one if the input is already partitioned by conv_id)."""
+    x = F.unix_micros("ts") / F.lit(1e6 * _SEC_PER_DAY)
+    fit = df.groupBy(KEY).agg(
+        F.regr_slope(F.col(value_col), x).alias("_b"),
+        F.regr_intercept(F.col(value_col), x).alias("_a"),
+    )
+    return (
+        df.join(F.broadcast(fit), KEY)
+        .withColumn(
+            f"{value_col}_detrended",
+            F.col(value_col) - (F.col("_a") + F.col("_b") * x),
+        )
+        .drop("_a", "_b")
+    )
+
+
 def polyfit_series(
     df: DataFrame, value_col: str = "v", degree: int = 2
 ) -> DataFrame:
