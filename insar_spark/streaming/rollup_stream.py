@@ -134,6 +134,87 @@ def stream_to_tierstore(
     )
 
 
+def stateful_cumulative_reconstruction(turns: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: continuous
+    per-conversation cumulative text-length reconstruction across
+    micro-batches.
+
+    The streaming form of W2+W4 (cumsum of deltas, zero-referenced at the
+    series head): state carries (last emitted turn_idx, last text length,
+    running cumulative delta) plus a buffer of out-of-order turns. A turn
+    is emitted only when it is contiguous with the last emitted index, so
+    arbitrary cross-batch arrival order (and replays) produce exactly the
+    batch window-cumsum result — the incremental analog of the reference's
+    start_layer resume (insar/prepare.py:942) with late-data buffering.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        "conv_id string, turn_idx int, ts timestamp, text_len double, "
+        "recon_v double"
+    )
+    state_schema = (
+        "last_idx int, last_len double, cum double, "
+        "pend_idx array<int>, pend_len array<double>, pend_ts array<long>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            last_idx, last_len, cum, p_idx, p_len, p_ts = state.get
+            pending = {
+                int(i): (float(l), int(t))
+                for i, l, t in zip(p_idx or [], p_len or [], p_ts or [])
+            }
+        else:
+            last_idx, last_len, cum, pending = -1, 0.0, 0.0, {}
+        for pdf in pdfs:
+            lens = pdf["text"].str.len().astype("float64")
+            ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            for idx, ln, t in zip(pdf["turn_idx"], lens, ts_us):
+                if int(idx) > last_idx:  # replay/duplicate guard
+                    pending[int(idx)] = (float(ln), int(t))
+        out_rows = []
+        while (last_idx + 1) in pending:
+            nxt = last_idx + 1
+            ln, t = pending.pop(nxt)
+            if last_idx >= 0:
+                cum += ln - last_len
+            last_len = ln
+            last_idx = nxt
+            out_rows.append((nxt, t, ln, cum))
+        state.update(
+            (
+                last_idx,
+                last_len,
+                cum,
+                sorted(pending),
+                [pending[i][0] for i in sorted(pending)],
+                [pending[i][1] for i in sorted(pending)],
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": [r[0] for r in out_rows],
+                    "ts": pd.to_datetime([r[1] for r in out_rows], unit="us"),
+                    "text_len": [r[2] for r in out_rows],
+                    "recon_v": [r[3] for r in out_rows],
+                }
+            )
+
+    return (
+        turns.select("conv_id", "turn_idx", "ts", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )
+
+
 def stateful_session_metric(
     turns: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:
