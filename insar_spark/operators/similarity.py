@@ -178,6 +178,41 @@ def ivf_assign(
     return emb.select(F.col(id_col), F.col(vec_col), cell(F.col(vec_col)).alias("cell"))
 
 
+def ivf_write(
+    emb: DataFrame, centroids: np.ndarray, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the index partitioned by IVF cell — the 100 TB layout: a
+    query probes n_probe cells, so the scan prunes to n_probe/k of the
+    files (partition pruning, verified via inputFiles in tests)."""
+    (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def ivf_topk_from_store(
+    spark, path: str, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against the partitioned store: the cell predicate reaches
+    the file listing, so only n_probe partitions are read."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame, query_vec: list[float], centroids: np.ndarray,
     k: int = 10, n_probe: int = 3,
