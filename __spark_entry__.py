@@ -1086,6 +1086,52 @@ FROM t JOIN fit USING (conv_id)
 )
 
 
+def q_sbas_solve_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 on a REDUNDANT network: all pairs up to 4 turns apart per series
+    (the true SBAS shape — self-join J1 + bandwidth cap F4). The network is
+    consistent (deltas are differences of observed values), so the exact LS
+    solution is still v - first(v): the full Cholesky/pinv path gets a SQL
+    oracle. Restricted to 25 series to bound the O(n·k) pair join."""
+    from insar_spark.operators import series as S2
+    from insar_spark.operators.sbas import invert_pairs
+
+    t = events_series(spark, sf_dir).filter(F.col("conv_id").cast("int") < 25)
+    pairs = S2.all_pairs(t, "v", max_gap_turns=4)
+    out = invert_pairs(pairs, prefilter=False)
+    return out.select(
+        "conv_id", _r("date_num").alias("date_num"), _r("phase", 5).alias("phase")
+    )
+
+
+_SQL_SBAS_ALLPAIRS = (
+    SERIES_CTE
+    + """
+SELECT conv_id,
+       round(epoch_us(ts) / 86400000000.0, 6) AS date_num,
+       round(v - first_value(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS phase
+FROM t WHERE cast(conv_id AS int) < 25
+"""
+)
+
+
+def q_a8_weighted_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: correlation-weighted WLS (insar/timeseries.py:561-648). Weights
+    vary per pair but the network is consistent, so the weighted solution
+    equals the unweighted one — cumsum oracle, WLS code path exercised."""
+    from insar_spark.operators import series as S2
+    from insar_spark.operators.sbas import invert_pairs
+
+    t = events_series(spark, sf_dir).filter(F.col("conv_id").cast("int") < 25)
+    pairs = S2.all_pairs(t, "v", max_gap_turns=3).withColumn(
+        "w", F.lit(0.5) + F.pmod(F.col("late_idx"), F.lit(4)).cast("double") / 4
+    )
+    out = invert_pairs(pairs, weight_col="w", prefilter=False)
+    return out.select(
+        "conv_id", _r("date_num").alias("date_num"), _r("phase", 5).alias("phase")
+    )
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -1169,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_dims_broadcast_join": q_j3_dims_broadcast_join,
         "a9_l1_solve": q_a9_l1_solve,
         "detrend_linear": q_detrend_linear,
+        "sbas_solve_allpairs": q_sbas_solve_allpairs,
+        "a8_weighted_solve": q_a8_weighted_solve,
     }
 
 
@@ -1212,6 +1260,8 @@ def oracle_sql() -> dict[str, str]:
         "j3_dims_broadcast_join": _SQL_J3,
         "a9_l1_solve": _SQL_SBAS_BW1,
         "detrend_linear": _SQL_DETREND,
+        "sbas_solve_allpairs": _SQL_SBAS_ALLPAIRS,
+        "a8_weighted_solve": _SQL_SBAS_ALLPAIRS,  # same oracle: consistent net
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
         # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats,

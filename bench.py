@@ -90,7 +90,11 @@ def headline_queries(spark):
             "a12_rolling_mean_1h",
             "a4_temporal_coherence",
             "dedup_exact",
+            "dedup_minhash_pairs",
             "sim_cosine_vs_query",
+            "sim_lsh_topk",
+            "w7_gapfill_linear_1d",
+            "w5_lowess_smooth",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

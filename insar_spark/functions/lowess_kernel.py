@@ -1,4 +1,4 @@
-"""Robust locally-weighted regression (lowess) — NumPy kernel.
+"""Robust locally-weighted regression (lowess) — vectorized NumPy kernel.
 
 Fresh implementation of the Cleveland (1979) lowess algorithm with the
 reference's configuration surface (insar/timeseries.py:928-1009, which
@@ -6,15 +6,32 @@ delegates to apertools.lowess): a *minimum weighted time span* instead of a
 point fraction (``min_x_weighted`` — the reference default is 2*365.25
 day-numbers), and ``it`` bisquare robustness iterations.
 
-Semantics: for each x_i, take the smallest symmetric neighborhood whose x
-span is >= min_x_weighted (or at least ``frac`` of points if given),
-tricube-weight by distance, weighted linear fit, evaluate at x_i. Then
-re-weight by bisquare of residuals and repeat ``it`` times.
+Neighborhood: all points within ±min_x_weighted/2 of x_i (expanded to the
+two nearest points when fewer than 2 fall inside); tricube distance
+weights; weighted linear fit evaluated at x_i; ``it`` bisquare
+re-weighting passes.
+
+The fit is vectorized: neighborhoods are contiguous index ranges, so a
+chunked 2-D gather evaluates every point's weighted regression with
+einsum-style row reductions — no per-point Python loop. Chunking bounds
+memory at chunk × max-window doubles (mega-series safe).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def _windows(x: np.ndarray, half_span: float) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    lo = np.searchsorted(x, x - half_span, side="left")
+    hi = np.searchsorted(x, x + half_span, side="right")
+    # ensure at least 2 points per window
+    needs = (hi - lo) < 2
+    lo = np.where(needs & (lo > 0), lo - 1, lo)
+    hi = np.where((hi - lo) < 2, np.minimum(hi + 1, n), hi)
+    lo = np.where((hi - lo) < 2, np.maximum(hi - 2, 0), lo)
+    return lo.astype(np.int64), hi.astype(np.int64)
 
 
 def lowess_xy(
@@ -23,6 +40,7 @@ def lowess_xy(
     frac: float | None = None,
     min_x_weighted: float | None = None,
     it: int = 2,
+    chunk: int = 512,
 ) -> np.ndarray:
     """Smoothed y at each x (x must be sorted ascending, no NaN)."""
     x = np.asarray(x, dtype=np.float64)
@@ -35,61 +53,47 @@ def lowess_xy(
     if frac is None and min_x_weighted is None:
         frac = 2.0 / 3.0
 
-    # neighborhood size per point
     if min_x_weighted is not None:
-        k = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            # expand window symmetric-ish until span >= min_x_weighted
-            lo, hi = i, i
-            while (x[hi] - x[lo]) < min_x_weighted and (lo > 0 or hi < n - 1):
-                if lo == 0:
-                    hi += 1
-                elif hi == n - 1:
-                    lo -= 1
-                elif (x[i] - x[lo - 1]) <= (x[hi + 1] - x[i]):
-                    lo -= 1
-                else:
-                    hi += 1
-            k[i] = hi - lo + 1
-        k = np.maximum(k, 2)
+        lo, hi = _windows(x, min_x_weighted / 2.0)
     else:
-        k = np.full(n, max(2, int(np.ceil(frac * n))), dtype=np.int64)
+        k = max(2, int(np.ceil(frac * n)))
+        centers = np.arange(n)
+        lo = np.clip(centers - k // 2, 0, n - k)
+        hi = lo + k
 
     delta = np.ones(n)
     out = y.copy()
     for _iteration in range(it + 1):
-        for i in range(n):
-            ki = min(int(k[i]), n)
-            # ki nearest neighbors of x[i]
-            lo = np.searchsorted(x, x[i]) - ki
-            lo = max(0, min(lo, n - ki))
-            best_lo = lo
-            best_span = np.inf
-            for cand in range(lo, min(lo + ki, n - ki) + 1):
-                span = max(x[i] - x[cand], x[cand + ki - 1] - x[i])
-                if span < best_span:
-                    best_span = span
-                    best_lo = cand
-            sl = slice(best_lo, best_lo + ki)
-            xi, yi = x[sl], y[sl]
-            d = np.abs(xi - x[i])
-            dmax = d.max()
-            w0 = (1 - (d / dmax) ** 3) ** 3 if dmax > 0 else np.ones_like(d)
-            w = w0 * delta[sl]
-            sw = w.sum()
-            if sw <= 0:
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            lo_c, hi_c = lo[c0:c1], hi[c0:c1]
+            kmax = int((hi_c - lo_c).max())
+            idx = lo_c[:, None] + np.arange(kmax)[None, :]
+            valid = idx < hi_c[:, None]
+            idx = np.minimum(idx, n - 1)
+            xi = x[idx]
+            yi = y[idx]
+            d = np.abs(xi - x[c0:c1, None])
+            dmax = np.max(np.where(valid, d, 0.0), axis=1, keepdims=True)
+            dmax[dmax == 0] = 1.0
+            w = (1.0 - np.minimum(d / dmax, 1.0) ** 3) ** 3
+            w = w * delta[idx] * valid
+            sw = w.sum(axis=1)
+            dead = sw <= 0
+            if dead.any():
                 # whole neighborhood robust-zeroed: fall back to the
-                # distance-only fit rather than trusting y[i] (which is
-                # exactly the point robustness flagged)
-                w, sw = w0, w0.sum()
-            xm = (w * xi).sum() / sw
-            ym = (w * yi).sum() / sw
-            sxx = (w * (xi - xm) ** 2).sum()
-            if sxx <= 1e-12 * max(1.0, xm * xm):
-                out[i] = ym
-            else:
-                b = (w * (xi - xm) * (yi - ym)).sum() / sxx
-                out[i] = ym + b * (x[i] - xm)
+                # distance-only fit rather than trusting the flagged point
+                w0 = ((1.0 - np.minimum(d / dmax, 1.0) ** 3) ** 3) * valid
+                w = np.where(dead[:, None], w0, w)
+                sw = w.sum(axis=1)
+            xm = (w * xi).sum(axis=1) / sw
+            ym = (w * yi).sum(axis=1) / sw
+            xc = xi - xm[:, None]
+            sxx = (w * xc * xc).sum(axis=1)
+            sxy = (w * xc * (yi - ym[:, None])).sum(axis=1)
+            flat = sxx <= 1e-12 * np.maximum(1.0, xm * xm)
+            b = np.where(flat, 0.0, sxy / np.where(flat, 1.0, sxx))
+            out[c0:c1] = ym + b * (x[c0:c1] - xm)
         # bisquare robustness re-weighting
         resid = y - out
         s = np.median(np.abs(resid))

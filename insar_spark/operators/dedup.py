@@ -41,9 +41,14 @@ def _token_ngrams(text: str, n: int) -> set[int]:
 
 
 def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift universal hash family params (odd multipliers).
+
+    h_i(x) = ((a_i * x + b_i) mod 2^64) >> 32 — native uint64 wraparound,
+    fully vectorized (no Python big-int math in the signature hot loop).
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    a = rng.integers(1, 2**63, num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
     return a, b
 
 
@@ -62,32 +67,36 @@ def minhash_signatures(
     """
     a, b = _hash_params(num_hashes, seed)
 
+    from hashlib import blake2b
+
     def fnv(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode():
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h & 0x7FFFFFFFFFFFFFFF
+        # stable 64-bit token hash at C speed (blake2b-8); name kept for
+        # history — the property that matters is process-independence
+        return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            toks = (t or "").split()
-            if len(toks) < shingle_n:
-                shingles = np.array([fnv(" ".join(toks))], dtype=np.int64)
-            else:
-                shingles = np.array(
-                    [
-                        fnv(" ".join(toks[i : i + shingle_n]))
-                        for i in range(len(toks) - shingle_n + 1)
-                    ],
-                    dtype=np.int64,
-                )
-            # (num_hashes, n_shingles) min over shingles — vectorized
-            hv = (
-                a[:, None].astype(object) * shingles[None, :].astype(object) + b[:, None]
-            ) % _MERSENNE
-            out.append(hv.min(axis=1).astype(np.int64).tolist())
+        B = np.uint64(1_000_003)
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = (t or "").split()
+                hs = np.array([fnv(w) for w in toks], dtype=np.uint64)
+                if len(toks) < shingle_n:
+                    shingles = np.array(
+                        [hs.sum() if len(hs) else 0], dtype=np.uint64
+                    )
+                else:
+                    # polynomial combine of per-token hashes over the
+                    # shingle window — vectorized across positions
+                    m = len(toks) - shingle_n + 1
+                    shingles = np.zeros(m, dtype=np.uint64)
+                    for j in range(shingle_n):
+                        shingles = shingles * B + hs[j : j + m]
+                # (num_hashes, n_shingles) multiply-shift, min over shingles:
+                # native uint64 wraparound == mod 2^64, fully vectorized
+                hv = (a[:, None] * shingles[None, :] + b[:, None]) >> np.uint64(32)
+                out.append(hv.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig"))
@@ -115,24 +124,36 @@ def lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    # drop singleton buckets before the join (cheap count pre-agg)
-    hot = (
+    # one shuffle: gather each bucket's member list, emit pairs from the
+    # array in-place (no self-join), dedup across bands. max_bucket caps
+    # degenerate buckets (near-identical boilerplate floods) — standard
+    # LSH practice; capped buckets are still represented pairwise up to
+    # the cap after an in-bucket sort (deterministic).
+    max_bucket = 64
+    buckets = (
         banded.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") > 1)
-        .drop("count")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
-    b2 = banded.join(hot, ["band", "bucket"], "left_semi")
-    a = b2.alias("a")
-    b = b2.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_id_b")
-    ).alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
-        .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ids", i + 2, F.size("ids") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_verify(
@@ -197,12 +218,16 @@ def simhash_signatures(
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for j, tok in enumerate(toks):
-                h = 0xCBF29CE484222325
-                for ch in tok.encode():
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                hs[j] = h
+            from hashlib import blake2b
+
+            hs = np.fromiter(
+                (
+                    int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
                 np.int64
             )

@@ -103,11 +103,10 @@ def winnowing_fingerprints(
     sharing any fingerprint (explode + groupBy, linear shuffle).
     """
 
+    from hashlib import blake2b
+
     def hash_stable(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode():
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h & 0x7FFFFFFFFFFFFFFF
+        return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fp(texts: pd.Series) -> pd.Series:
