@@ -69,8 +69,6 @@ def transcript_pipeline(spark, n_convs: int):
 def headline_queries(spark):
     import __spark_entry__ as e
 
-    sbas_names = ["sbas_invert_adjacent"]
-
     def sbas(spark, sf_dir):
         from insar_spark.operators import series as S
         from insar_spark.operators.sbas import invert_pairs

@@ -41,9 +41,23 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--store", required=True, help="tier store root")
     p.add_argument("--expire-asof", default=None, help="YYYY-MM-DD")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--bucketize",
+        type=int,
+        default=0,
+        metavar="N_BUCKETS",
+        help="first land the input as a conv_id-bucketed table "
+        "(<store>/_bucketed warehouse); the tier cascade then runs "
+        "shuffle-free (the 100TB layout, see SCALE.md §1)",
+    )
     args = p.parse_args(argv)
 
-    spark = get_spark("rollup_job", master=args.master)
+    extra = (
+        {"spark.sql.warehouse.dir": os.path.join(args.store, "_bucketed")}
+        if args.bucketize
+        else None
+    )
+    spark = get_spark("rollup_job", master=args.master, extra_conf=extra)
     store = TierStore(args.store)
     run_params = {"input": args.input, "job": "rollup_job", "version": 1}
 
@@ -53,6 +67,17 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         turns = spark.read.parquet(args.input).withColumn(
             "ts", F.col("ts").cast("timestamp")
+        )
+
+    if args.bucketize:
+        from insar_spark.sources.bucketed import attach_bucketed, write_bucketed
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, "transcripts_bucketed")
+        if not os.path.exists(loc):
+            write_bucketed(turns, "transcripts_bucketed", args.bucketize)
+        turns = attach_bucketed(
+            spark, "transcripts_bucketed", loc, args.bucketize
         )
 
     metrics: dict = {"tiers": {}, "expired": {}}
