@@ -1115,6 +1115,22 @@ FROM t WHERE cast(conv_id AS int) < 25
 )
 
 
+def q_sbas_solve_from_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star transport path: Gorilla-compress each series, solve
+    straight from the blobs (decode inside the Arrow UDF). Same cumsum
+    oracle as the pair-row path — proves the compressed transport is
+    lossless end-to-end."""
+    from insar_spark.operators.compression import compress_series
+    from insar_spark.operators.sbas import invert_blobs
+
+    t = events_series(spark, sf_dir)
+    blobs = compress_series(t.select("conv_id", "ts", "v"))
+    out = invert_blobs(blobs)
+    return out.select(
+        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+    )
+
+
 def q_a8_weighted_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: correlation-weighted WLS (insar/timeseries.py:561-648). Weights
     vary per pair but the network is consistent, so the weighted solution
@@ -1217,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_linear": q_detrend_linear,
         "sbas_solve_allpairs": q_sbas_solve_allpairs,
         "a8_weighted_solve": q_a8_weighted_solve,
+        "sbas_solve_from_blobs": q_sbas_solve_from_blobs,
     }
 
 
@@ -1261,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_l1_solve": _SQL_SBAS_BW1,
         "detrend_linear": _SQL_DETREND,
         "sbas_solve_allpairs": _SQL_SBAS_ALLPAIRS,
+        "sbas_solve_from_blobs": _SQL_SBAS_BW1,
         "a8_weighted_solve": _SQL_SBAS_ALLPAIRS,  # same oracle: consistent net
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):

@@ -93,6 +93,7 @@ def headline_queries(spark):
             "sim_lsh_topk",
             "w7_gapfill_linear_1d",
             "w5_lowess_smooth",
+            "sbas_solve_from_blobs",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

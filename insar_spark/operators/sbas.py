@@ -110,3 +110,57 @@ def invert_pairs(
         )
 
     return df.groupBy(KEY).applyInPandas(solve, schema=SOLVE_SCHEMA)
+
+
+def invert_blobs(
+    blobs: DataFrame,
+    use_b_matrix: bool = False,
+    scale: float = 1.0,
+) -> DataFrame:
+    """SBAS solve straight from Gorilla-compressed series blobs.
+
+    The north-star transport: one (conv_id, ts_blob, v_blob) row per series
+    moves through the exchange instead of N turn rows; delta-of-delta +
+    XOR decode happens inside the same Arrow batch as the solve
+    (compression *inside* the vectorized UDFs, not just at rest). The pair
+    network is the adjacent chain (np.diff of the decoded series), i.e.
+    the production bandwidth-1 network.
+    """
+    from typing import Iterator
+
+    from insar_spark.functions.gorilla import decode_timestamps, decode_values
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                ts = decode_timestamps(bytes(row.ts_blob))
+                vals = decode_values(bytes(row.v_blob))
+                date_nums = ts / 1e6 / _SEC_PER_DAY
+                if len(date_nums) < 2:
+                    continue
+                deltas = np.diff(vals)
+                phases, coh = solve_series(
+                    date_nums,
+                    date_nums[:-1],
+                    date_nums[1:],
+                    deltas,
+                    use_b_matrix=use_b_matrix,
+                    scale=scale,
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            KEY: row.conv_id,
+                            "date_num": date_nums,
+                            "phase": phases,
+                            "temporal_coherence": coh,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blobs.mapInPandas(solve, schema=SOLVE_SCHEMA)

@@ -71,3 +71,33 @@ def test_ivf_store_partition_pruning(spark, tmp_path):
     exact = set(brute_force_topk(emb, qv, k=10).toPandas().vec_id)
     got = set(topk.toPandas().vec_id)
     assert len(got & exact) / 10 >= 0.8
+
+
+def test_solve_from_blobs_equals_pair_solve(spark, transcripts):
+    """Gorilla-blob transport into the solver == pair-row transport."""
+    from insar_spark.operators import series as S
+    from insar_spark.operators.compression import compress_series
+    from insar_spark.operators.sbas import invert_blobs, invert_pairs
+
+    df = S.with_text_len(transcripts.filter("conv_id < 'conv00000008'")).select(
+        "conv_id", "ts", F.col("text_len").alias("v")
+    )
+    via_pairs = (
+        invert_pairs(
+            S.adjacent_pairs(df.withColumn("turn_idx", F.lit(0)), "v", k=1),
+            prefilter=False,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "date_num"])
+        .reset_index(drop=True)
+    )
+    via_blobs = (
+        invert_blobs(compress_series(df))
+        .toPandas()
+        .sort_values(["conv_id", "date_num"])
+        .reset_index(drop=True)
+    )
+    assert len(via_pairs) == len(via_blobs)
+    np.testing.assert_allclose(
+        via_pairs["phase"].to_numpy(), via_blobs["phase"].to_numpy(), atol=1e-9
+    )
