@@ -1148,6 +1148,95 @@ def q_a8_weighted_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w10_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: centered ±2-row rolling mean (window_stack analog)."""
+    t = events_series(spark, sf_dir)
+    return S.rolling_mean_rows(t, "v", 2).select(
+        "conv_id", "turn_idx", _r("v_rollrows").alias("v_rollrows")
+    )
+
+
+_SQL_W10 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx,
+       round(avg(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS v_rollrows
+FROM t
+"""
+)
+
+
+def q_a5_e3_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 mask depth-count + E3 mask any: per series, count and existence
+    of masked turns (v > 900)."""
+    t = events_series(spark, sf_dir)
+    m = F.col("v") > 900
+    return t.groupBy("conv_id").agg(
+        F.sum(m.cast("int")).alias("n_masked"),
+        F.bool_or(m).alias("any_masked"),
+    )
+
+
+_SQL_A5E3 = (
+    SERIES_CTE
+    + """
+SELECT conv_id, sum(CASE WHEN v > 900 THEN 1 ELSE 0 END) AS n_masked,
+       bool_or(v > 900) AS any_masked
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 values per series (ranking window + filter)."""
+    t = events_series(spark, sf_dir)
+    return S.topk_per_series(t, "v", k=3).select(
+        "conv_id", "turn_idx", _r("v").alias("v"), "rank"
+    )
+
+
+_SQL_TOPK = (
+    SERIES_CTE
+    + """
+SELECT conv_id, turn_idx, round(v, 6) AS v,
+       cast(row_number() OVER w AS int) AS rank
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY v DESC, turn_idx)
+QUALIFY row_number() OVER w <= 3
+"""
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions per series."""
+    t = events_series(spark, sf_dir)
+    s = S.sessionize(t, gap_sec=1800)
+    return s.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), _r(F.sum("v")).alias("sum_v")
+    )
+
+
+_SQL_SESSIONIZE = (
+    SERIES_CTE
+    + """
+, g AS (
+  SELECT conv_id, ts, turn_idx, v,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+), s AS (
+  SELECT conv_id, ts, turn_idx, v,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM g
+)
+SELECT conv_id, session_id, count(*) AS n_turns, round(sum(v), 6) AS sum_v
+FROM s GROUP BY conv_id, session_id
+"""
+)
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -1234,6 +1323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbas_solve_allpairs": q_sbas_solve_allpairs,
         "a8_weighted_solve": q_a8_weighted_solve,
         "sbas_solve_from_blobs": q_sbas_solve_from_blobs,
+        "w10_rolling_rows": q_w10_rolling_rows,
+        "a5_e3_mask_stats": q_a5_e3_mask_stats,
+        "topk_per_series": q_topk_per_series,
+        "sessionize_30m": q_sessionize,
     }
 
 
@@ -1279,6 +1372,10 @@ def oracle_sql() -> dict[str, str]:
         "detrend_linear": _SQL_DETREND,
         "sbas_solve_allpairs": _SQL_SBAS_ALLPAIRS,
         "sbas_solve_from_blobs": _SQL_SBAS_BW1,
+        "w10_rolling_rows": _SQL_W10,
+        "a5_e3_mask_stats": _SQL_A5E3,
+        "topk_per_series": _SQL_TOPK,
+        "sessionize_30m": _SQL_SESSIONIZE,
         "a8_weighted_solve": _SQL_SBAS_ALLPAIRS,  # same oracle: consistent net
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):

@@ -169,6 +169,29 @@ def rolling_mean_rows(df: DataFrame, value_col: str, half_width: int) -> DataFra
     return df.withColumn(f"{value_col}_rollrows", F.avg(value_col).over(w))
 
 
+def sessionize(df: DataFrame, value_col: str = "text_len", gap_sec: int = 1800) -> DataFrame:
+    """Batch sessionization: a new session starts when the inter-turn gap
+    exceeds ``gap_sec`` (the batch analog of session_window; lag + running
+    sum of session-start indicators — one window exchange)."""
+    w = series_window()
+    w_run = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / F.lit(1e6)
+    is_start = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    return df.withColumn("session_id", F.sum(is_start).over(w_run) - F.lit(1))
+
+
+def topk_per_series(
+    df: DataFrame, value_col: str, k: int = 3, ties_by: str = "turn_idx"
+) -> DataFrame:
+    """Top-k rows per series by value (row_number window + filter)."""
+    w = Window.partitionBy(KEY).orderBy(F.desc(value_col), F.col(ties_by))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rank")
+    )
+
+
 def adjacent_pairs(df: DataFrame, value_col: str = "text_len", k: int = 1) -> DataFrame:
     """J1 (nearest-neighbor form): emit (early, late) turn pairs k apart.
 
