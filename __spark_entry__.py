@@ -1181,7 +1181,8 @@ def q_a5_e3_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_A5E3 = (
     SERIES_CTE
     + """
-SELECT conv_id, sum(CASE WHEN v > 900 THEN 1 ELSE 0 END) AS n_masked,
+SELECT conv_id,
+       cast(sum(CASE WHEN v > 900 THEN 1 ELSE 0 END) AS bigint) AS n_masked,
        bool_or(v > 900) AS any_masked
 FROM t GROUP BY conv_id
 """
@@ -1225,10 +1226,10 @@ _SQL_SESSIONIZE = (
   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 ), s AS (
   SELECT conv_id, ts, turn_idx, v,
-         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         cast(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-           AS session_id
+           AS bigint) AS session_id
   FROM g
 )
 SELECT conv_id, session_id, count(*) AS n_turns, round(sum(v), 6) AS sum_v
