@@ -146,15 +146,24 @@ class TierStore:
         tier: str,
         run_params: dict | None = None,
         files_per_partition: int = 4,
+        seal_before: str | None = None,
     ) -> dict:
         """Append day-partitions of a rollup DataFrame; skip days already
-        committed (idempotent resume). Returns the commit record."""
+        committed (idempotent resume). Returns the commit record.
+
+        ``seal_before`` (YYYY-MM-DD) is the ingest watermark: only days
+        strictly before it are committed — an in-flight day is never
+        sealed with partial data, so the day-level resume skip is always
+        safe (the streaming analog is the event-time watermark).
+        """
         man = self.manifest(tier)
         done = set(man["partitions"])
 
         df = rolled.withColumn(
             "day", F.date_format("window_start", "yyyy-MM-dd")
         )
+        if seal_before is not None:
+            df = df.filter(F.col("day") < seal_before)
         if done:
             df = df.filter(~F.col("day").isin(sorted(done)))
 

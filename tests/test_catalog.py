@@ -120,3 +120,35 @@ def test_incremental_day_arrival(spark, store):
         s2.reset_index(drop=True), d2[s2.columns].reset_index(drop=True), check_exact=True
     )
     full.unpersist()
+
+
+def test_seal_before_prevents_partial_day_commit(spark, store):
+    """With the ingest watermark, the two-chunk arrival of the previous
+    test becomes exactly equal to a single full ingest: the in-flight
+    boundary day is not committed until the second pass."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.synth import synth_transcripts
+
+    full = synth_transcripts(spark, n_convs=30, seed=9, mega_every=0).cache()
+    cut = "2025-01-15"
+    first = rollup_turns(full.filter(F.col("ts") < cut), "1d")
+    res1 = store.write_tier(first, "1d", seal_before=cut)
+    assert all(d < cut for d in res1["written_days"])
+
+    store.write_tier(rollup_turns(full, "1d"), "1d")  # final pass seals rest
+    stored = (
+        store.read_tier(spark, "1d")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup_turns(full, "1d")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(stored[direct.columns.tolist()], direct, check_exact=True)
+    full.unpersist()
