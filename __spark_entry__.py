@@ -914,6 +914,17 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
+    verify (rows-only; planted-pair correctness in pytest)."""
+    from insar_spark.operators.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.9, n_bits=10).select(
+        "id_a", "id_b", _r("cos_sim", 4).alias("cos_sim")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insar_spark.operators.multimodal import extract_features, synth_media
 
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "embedding_near_dups": q_embedding_near_dups,
         "j6_asof_join": q_j6_asof_join,
         "c7_rewrap_phase": q_c7_rewrap_phase,
         "c8_closure_phase": q_c8_closure_phase,

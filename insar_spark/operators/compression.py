@@ -28,33 +28,56 @@ def compress_series(
     key: str = "conv_id",
     ts_col: str = "ts",
     value_col: str = "v",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """(key, ts, v) rows -> one blob row per series.
 
-    Rows are sorted by (ts) inside the group before encoding — fixed order
-    is required both for delta-of-delta efficiency and bit-exact replay.
+    Scale shape: repartition by key + sort within partitions, then ONE
+    mapInPandas pass encodes every series in a partition — thousands of
+    small series share an Arrow batch instead of paying one grouped-UDF
+    invocation each. A series that straddles an Arrow batch boundary is
+    carried over inside the per-partition iterator (rows of a key are
+    contiguous after the sort), so output is identical at any batch size.
+    Rows are encoded in (ts) order — fixed order is required both for
+    delta-of-delta efficiency and bit-exact replay.
     """
+    from typing import Iterator
+
     from insar_spark.functions.gorilla import encode_timestamps, encode_values
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy("datetime64[us]").astype("int64")
-        vals = pdf[value_col].to_numpy(dtype="float64")
-        return pd.DataFrame(
-            {
-                "conv_id": [pdf[key].iloc[0]],
-                "n_points": [len(ts)],
-                "ts_blob": [encode_timestamps(ts)],
-                "v_blob": [encode_values(vals)],
-                "ts_min": [pdf[ts_col].iloc[0]],
-                "ts_max": [pdf[ts_col].iloc[-1]],
-            }
-        )
+    def _encode_group(g: pd.DataFrame) -> dict:
+        ts = g[ts_col].to_numpy("datetime64[us]").astype("int64")
+        vals = g[value_col].to_numpy(dtype="float64")
+        return {
+            "conv_id": g[key].iloc[0],
+            "n_points": len(ts),
+            "ts_blob": encode_timestamps(ts),
+            "v_blob": encode_values(vals),
+            "ts_min": g[ts_col].iloc[0],
+            "ts_max": g[ts_col].iloc[-1],
+        }
 
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_key = pdf[key].iloc[-1]
+            head = pdf[pdf[key] != last_key]
+            carry = pdf[pdf[key] == last_key]
+            if len(head):
+                yield pd.DataFrame(
+                    [_encode_group(g) for _, g in head.groupby(key, sort=False)]
+                )
+        if carry is not None and len(carry):
+            yield pd.DataFrame([_encode_group(carry)])
+
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(key, ts_col, value_col)
-        .groupBy(key)
-        .applyInPandas(pack, schema=COMPRESSED_SCHEMA)
+        .repartition(parts, key)
+        .sortWithinPartitions(key, ts_col)
+        .mapInPandas(pack, schema=COMPRESSED_SCHEMA)
     )
 
 

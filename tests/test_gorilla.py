@@ -84,3 +84,27 @@ def test_spark_compress_decompress_roundtrip(spark, transcripts):
         F.sum(F.col("n_points") * 16).alias("raw"),
     ).first()
     assert sizes["enc"] < sizes["raw"]
+
+
+def test_compress_series_batch_boundary_carry(spark, transcripts):
+    """A series straddling Arrow batch boundaries encodes identically:
+    the per-partition iterator carries the split series across batches."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.compression import compress_series
+
+    df = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("v")
+    )
+    normal = compress_series(df).toPandas().set_index("conv_id").sort_index()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        tiny = compress_series(df).toPandas().set_index("conv_id").sort_index()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(normal) == len(tiny)
+    for cid in normal.index:
+        assert normal.loc[cid, "n_points"] == tiny.loc[cid, "n_points"], cid
+        assert bytes(normal.loc[cid, "ts_blob"]) == bytes(tiny.loc[cid, "ts_blob"])
+        assert bytes(normal.loc[cid, "v_blob"]) == bytes(tiny.loc[cid, "v_blob"])
