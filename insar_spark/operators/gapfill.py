@@ -215,4 +215,6 @@ def resample_spline(
             }
         )
 
-    return obs.groupBy(key).applyInPandas(fill, schema=schema)
+    from insar_spark.operators.batched import keyed_map
+
+    return keyed_map(obs, key, ["grid_ts"], fill, schema)

@@ -74,7 +74,7 @@ def invert_pairs(
 
     has_w = weight_col is not None
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:  # noqa: C901 — one kernel
         import numpy as np
 
         early = pdf["early_ts"].to_numpy("datetime64[us]").astype("int64")
@@ -109,7 +109,13 @@ def invert_pairs(
             }
         )
 
-    return df.groupBy(KEY).applyInPandas(solve, schema=SOLVE_SCHEMA)
+    # batched per-key execution: fleets of small series share one Arrow
+    # invocation instead of paying per-group serde (operators.batched)
+    from insar_spark.operators.batched import keyed_map
+
+    return keyed_map(
+        df, KEY, ["early_ts", "late_ts"], solve, SOLVE_SCHEMA
+    )
 
 
 def invert_blobs(

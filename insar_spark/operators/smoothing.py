@@ -58,10 +58,13 @@ def lowess_smooth(
             }
         )
 
+    from insar_spark.operators.batched import keyed_map
+
     cols = [KEY, "ts", value_col] + (
         ["turn_idx"] if "turn_idx" in df.columns else []
     )
-    return df.select(*cols).groupBy(KEY).applyInPandas(smooth, schema=schema)
+    sort = ["ts", "turn_idx"] if "turn_idx" in df.columns else ["ts"]
+    return keyed_map(df.select(*cols), KEY, sort, smooth, schema)
 
 
 def polyfit_deg1(df: DataFrame, value_col: str = "v") -> DataFrame:
@@ -136,4 +139,6 @@ def polyfit_series(
             }
         )
 
-    return df.select(KEY, "ts", value_col).groupBy(KEY).applyInPandas(fit, schema=schema)
+    from insar_spark.operators.batched import keyed_map
+
+    return keyed_map(df.select(KEY, "ts", value_col), KEY, ["ts"], fit, schema)
