@@ -277,6 +277,7 @@ def solve_series(
     weights: np.ndarray | None = None,
     scale: float = 1.0,
     l1: bool = False,
+    max_dense_dates: int = 5000,
 ) -> tuple[np.ndarray, float]:
     """Full per-series solve: pairs (early, late, delta) -> cumulative phases.
 
@@ -303,6 +304,16 @@ def solve_series(
             order = np.argsort(e_idx)
             phases = np.concatenate([[0.0], np.cumsum(d[order])])
             return phases * scale, 1.0
+    # mega-series guard: a dense G for N dates is O(N^2) memory / O(N^3)
+    # solve — a 20k-date redundant network would need ~3 GB and minutes
+    # per series. Chain networks take the O(M) path above; redundant
+    # networks on mega-series must be bandwidth-limited upstream
+    # (operators.series.adjacent_pairs k, or skew.route_by_size).
+    if n > max_dense_dates:
+        raise ValueError(
+            f"{n} dates exceeds max_dense_dates={max_dense_dates} for a "
+            "non-chain network; cap the pair network bandwidth upstream"
+        )
     if use_b_matrix:
         G = build_B(date_nums, early, late)
         if l1:

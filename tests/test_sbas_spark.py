@@ -78,3 +78,49 @@ def test_bandwidth1_network_equals_window_cumsum(spark, transcripts):
     np.testing.assert_allclose(
         solved["phase"].to_numpy(), recon["recon_v"].to_numpy(), atol=1e-6
     )
+
+
+def test_mega_series_chain_solve(spark):
+    """A 20k-turn mega conversation solves through the O(M) chain fast
+    path (no dense factorization) and equals the window cumsum."""
+    from insar_spark.synth import synth_transcripts
+
+    with_len = S.with_text_len(
+        synth_transcripts(spark, n_convs=2, seed=5, mega_every=1, mega_turns=20_000)
+    ).filter("conv_id = 'conv00000001'")
+    pairs = S.adjacent_pairs(with_len, "text_len", k=1)
+    solved = (
+        invert_pairs(pairs, prefilter=False)
+        .toPandas()
+        .sort_values("date_num")
+        .reset_index(drop=True)
+    )
+    assert len(solved) == 20_000
+    recon = (
+        S.cumulative_reconstruct(S.turn_deltas(with_len))
+        .select("ts", "recon_v")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        solved["phase"].to_numpy(), recon["recon_v"].to_numpy(), atol=1e-6
+    )
+    assert (solved["temporal_coherence"] == 1.0).all()
+
+
+def test_mega_series_dense_network_guard():
+    """Redundant networks over too many dates raise instead of allocating
+    an O(N^2) dense system."""
+    import pytest as _pytest
+
+    from insar_spark.functions.sbas_kernels import solve_series
+
+    n = 6000
+    dates = np.arange(n, dtype=float)
+    # non-chain: one extra long pair defeats the chain detection
+    early = np.concatenate([dates[:-1], [0.0]])
+    late = np.concatenate([dates[1:], [float(n - 1)]])
+    deltas = np.ones(len(early))
+    with _pytest.raises(ValueError, match="max_dense_dates"):
+        solve_series(dates, early, late, deltas)
