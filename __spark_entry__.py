@@ -1251,6 +1251,25 @@ FROM s GROUP BY conv_id, session_id
 )
 
 
+
+def q_docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimension grouping over the documents table (lang x source):
+    the engine's grouping-dimension staple beyond the time tiers."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r(F.avg("n_chars")).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_SQL_DOCS_DIM = """
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -1342,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_e3_mask_stats": q_a5_e3_mask_stats,
         "topk_per_series": q_topk_per_series,
         "sessionize_30m": q_sessionize,
+        "docs_by_lang_source": q_docs_by_lang_source,
     }
 
 
@@ -1391,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_e3_mask_stats": _SQL_A5E3,
         "topk_per_series": _SQL_TOPK,
         "sessionize_30m": _SQL_SESSIONIZE,
+        "docs_by_lang_source": _SQL_DOCS_DIM,
         "a8_weighted_solve": _SQL_SBAS_ALLPAIRS,  # same oracle: consistent net
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
