@@ -1005,7 +1005,10 @@ def q_c8_closure_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     d02 = F.lead("v", 2).over(w) - F.col("v")
     return (
         t.select(
-            "conv_id", "turn_idx", _r(d01 + d12 - d02).alias("closure")
+            # + 0.0 normalizes IEEE -0.0 (the closure is algebraically
+            # zero; rounding a -1e-16 residual yields -0.0 whose sign bit
+            # differs from the oracle's +0.0 under a byte-level hash).
+            "conv_id", "turn_idx", (_r(d01 + d12 - d02) + F.lit(0.0)).alias("closure")
         )
         .filter(F.col("closure").isNotNull())
     )
@@ -1016,7 +1019,7 @@ _SQL_C8 = (
     + """
 SELECT conv_id, turn_idx,
        round((lead(v, 1) OVER w - v) + (lead(v, 2) OVER w - lead(v, 1) OVER w)
-             - (lead(v, 2) OVER w - v), 6) AS closure
+             - (lead(v, 2) OVER w - v), 6) + 0.0 AS closure
 FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 QUALIFY lead(v, 2) OVER w IS NOT NULL
 """

@@ -66,6 +66,21 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
                 f"col {c}: {n_bad}/{len(g)} mismatched, first at row {i}: "
                 f"spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}"
             )
+        elif pd.api.types.is_float_dtype(gv):
+            # Driver-style strict hash: byte-identical floats (catches
+            # -0.0 vs 0.0, which isclose does not).
+            ga, ea = gv.to_numpy("float64"), ev.to_numpy("float64")
+            nan = np.isnan(ga) & np.isnan(ea)
+            if ga[~nan].tobytes() != ea[~nan].tobytes():
+                d = ga.copy()
+                d[nan] = 0.0
+                e2 = ea.copy()
+                e2[nan] = 0.0
+                i = int(np.argmax(d.view("int64") != e2.view("int64")))
+                problems.append(
+                    f"col {c}: HASH mismatch (value-equal), first byte-diff "
+                    f"row {i}: spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}"
+                )
     return problems
 
 
