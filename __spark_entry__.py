@@ -858,24 +858,75 @@ FROM documents
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (UDF signatures; verified Jaccard).
-    Rows-only driver check; operator correctness in tests/test_dedup_similarity.py."""
+    """MinHash+LSH near-dup pairs, JVM-side signatures (shared md5-60 hash),
+    exact word-3-gram Jaccard verify >= 0.5. Oracle: all-pairs exact Jaccard
+    in DuckDB — LSH recall at the shipped 16x4 banding is 1 - (1-s^4)^16,
+    ~4e-8 miss at the dataset's planted-dup similarity (J >= 0.9), so the
+    candidate pruning is lossless here and the value-hash gate applies."""
     from insar_spark.operators.dedup import minhash_dedup
 
     docs = load(spark, sf_dir, "documents")
     return minhash_dedup(docs, threshold=0.5).select(
-        "id_a", "id_b", _r("jaccard", 4).alias("jaccard")
+        "id_a", "id_b", _r("jaccard", 6).alias("jaccard")
     )
 
 
+def _sql_dedup_minhash() -> str:
+    from insar_spark.functions.shared_hash import SQL_TOKENS, sql_shingles
+
+    sh = sql_shingles(SQL_TOKENS.format(text="text"), 3)
+    return f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({sh}) AS sh FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE AS i,
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS u
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.5
+"""
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups at Hamming <= 3 over 60-bit signatures. The 4x15-bit
+    chunk banding is pigeonhole-COMPLETE for Hamming <= 3, so the all-pairs
+    DuckDB oracle (recomputing the signature independently from the shared
+    md5-60 token hash) matches by construction, not by luck."""
     from insar_spark.operators.dedup import simhash_near_dups, simhash_signatures
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash_signatures(docs), max_hamming=10)
+    return simhash_near_dups(simhash_signatures(docs), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_dedup_simhash() -> str:
+    from insar_spark.functions.shared_hash import (
+        SQL_TOKENS,
+        sql_h60,
+        sql_simhash,
+    )
+
+    tokh = (
+        f"list_transform({SQL_TOKENS.format(text='text')}, _t -> {sql_h60('_t')})"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {sql_simhash('tokh')} AS sig
+  FROM (SELECT doc_id, {tokh} AS tokh FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates (docs sharing >= 1 pick).
+    Oracle recomputes the fingerprints independently in DuckDB from the
+    shared md5-60 k-gram hash — exact parity, no probabilistic stage."""
     from insar_spark.operators.textstats import (
         fingerprint_candidates,
         winnowing_fingerprints,
@@ -885,12 +936,49 @@ def q_dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_candidates(winnowing_fingerprints(docs))
 
 
+def _sql_dedup_fingerprint() -> str:
+    from insar_spark.functions.shared_hash import sql_shingle_hashes, sql_winnow
+
+    fps = sql_winnow(sql_shingle_hashes("text", 5), 4)
+    return f"""
+WITH f AS (SELECT doc_id, {fps} AS fps FROM documents),
+x AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insar_spark.operators.textstats import lang_id
 
     return lang_id(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang_pred", _r("lang_score", 4).alias("lang_score")
     )
+
+
+def _sql_lang_id() -> str:
+    from insar_spark.operators.textstats import _LANG_PROFILES
+
+    score_cols = []
+    for lang, words in _LANG_PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in sorted(words))
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+            f"_t -> _t IN ({wl})))::DOUBLE / len(toks) ELSE 0.0 END AS s_{lang}"
+        )
+    langs = list(_LANG_PROFILES)
+    m = "greatest(" + ", ".join(f"s_{g}" for g in langs) + ")"
+    pred = "CASE WHEN m <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{g} = m THEN '{g}'" for g in langs
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM d),
+g AS (SELECT doc_id, *, {m} AS m FROM s)
+SELECT doc_id, {pred} AS lang_pred,
+       round(CASE WHEN m > 0 THEN m ELSE 0.0 END, 4) AS lang_score
+FROM g
+"""
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,9 +1504,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_30m": _SQL_SESSIONIZE,
         "docs_by_lang_source": _SQL_DOCS_DIM,
         "a8_weighted_solve": _SQL_SBAS_ALLPAIRS,  # same oracle: consistent net
+        "dedup_minhash_pairs": _sql_dedup_minhash(),
+        "dedup_simhash_pairs": _sql_dedup_simhash(),
+        "dedup_fingerprint_pairs": _sql_dedup_fingerprint(),
+        "lang_id_heuristic": _sql_lang_id(),
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
-        # w5_lowess_smooth, w7_gapfill_spline, gorilla_compress_stats,
-        # dedup_minhash_pairs, dedup_simhash_pairs, dedup_fingerprint_pairs,
-        # lang_id_heuristic, sim_lsh_topk, sim_ivf_topk, multimodal_features
+        # w5_lowess_smooth (robust iterations), w7_gapfill_spline
     }

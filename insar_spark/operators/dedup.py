@@ -1,55 +1,88 @@
 """Deduplication operators for training-data pipelines.
 
-Four strategies, all shuffle-conscious:
+Four strategies, all shuffle-conscious and all JVM-side (no Python in any
+hot path — signatures are built from Spark array expressions over the
+cross-engine md5-60 hash in functions/shared_hash.py, so the DuckDB oracle
+can recompute them independently):
 
 * exact          — md5 hash-groupBy (one shuffle on the hash)
-* MinHash + LSH  — shingle → minhash signature (vectorized pandas UDF) →
-                   band → bucket-join for candidates → exact-Jaccard verify
-* SimHash        — 64-bit sign-of-weighted-sum signature; candidates via
-                   16-bit band buckets; verify by Hamming distance
+* MinHash + LSH  — word shingles → minhash signature → band → bucket-join
+                   for candidates → exact n-gram-Jaccard verify
+* SimHash        — 60-bit sign-of-weighted-sum signature; candidates via
+                   15-bit chunk buckets (pigeonhole-complete for
+                   Hamming <= 3); verify by bit_count(xor)
 * n-gram Jaccard — exact verification kernel (used by the LSH verify stage,
                    or standalone for small candidate sets)
 
 Scale design: candidate generation is a groupBy on (band, bucket-hash) —
 the classic LSH trick keeps the shuffle linear in corpus size instead of
-the O(n²) all-pairs join. Signatures are computed in one Arrow pass
-(numpy batch, no per-row Python). Buckets with a single member are
-dropped *before* the self-join (the all-zero-block short-circuit pattern,
-insar/timeseries.py:512-516).
+the O(n²) all-pairs join. Buckets with a single member are dropped
+*before* pair generation (the all-zero-block short-circuit pattern,
+insar/timeseries.py:512-516), and every pair generator caps bucket
+fan-out (``max_bucket``) so one boilerplate-flooded bucket cannot go
+quadratic at scale; the dropped mass is logged (no silent caps).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-_MERSENNE = (1 << 61) - 1
+from insar_spark.functions.shared_hash import (
+    SIMHASH_BITS,
+    h60_col,
+    minhash_sig_col,
+    perm_params,
+    shingle_hashes_col,
+    shingles_col,
+    simhash_col,
+    tokens_col,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_MAX_BUCKET = 64
 
 
-def _token_ngrams(text: str, n: int) -> set[int]:
-    toks = text.split()
-    if len(toks) < n:
-        return {hash(" ".join(toks)) & 0x7FFFFFFFFFFFFFFF}
-    return {
-        hash(" ".join(toks[i : i + n])) & 0x7FFFFFFFFFFFFFFF
-        for i in range(len(toks) - n + 1)
-    }
+def _pairs_from_buckets(
+    grouped: DataFrame, max_bucket: int, what: str
+) -> DataFrame:
+    """(bucket-key..., ids array) -> distinct (id_a < id_b) pairs.
 
-
-def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Multiply-shift universal hash family params (odd multipliers).
-
-    h_i(x) = ((a_i * x + b_i) mod 2^64) >> 32 — native uint64 wraparound,
-    fully vectorized (no Python big-int math in the signature hot loop).
+    Pair generation happens inside the array (no self-join). ``max_bucket``
+    caps degenerate buckets after a deterministic in-bucket sort; the
+    dropped member count is logged per call (one tiny agg job) so capping
+    is never silent.
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 2**63, num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
-    return a, b
+    buckets = grouped.filter(F.size("ids") > 1)
+    if max_bucket:
+        over = buckets.filter(F.size("ids") > max_bucket)
+        dropped = over.agg(
+            F.coalesce(F.sum(F.size("ids") - max_bucket), F.lit(0)).alias("d"),
+            F.count(F.lit(1)).alias("b"),
+        ).first()
+        if dropped["d"]:
+            logger.warning(
+                "%s: capped %d buckets at %d members (dropped %d members)",
+                what, dropped["b"], max_bucket, dropped["d"],
+            )
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids") - i - 1),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def minhash_signatures(
@@ -60,56 +93,31 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<long>) via universal hashing a*x+b mod p.
+    """(id, signature array<long>) — entirely JVM-side.
 
-    NOTE: python hash() of str is salted per-process — we use a stable
-    FNV-1a instead so signatures are identical across executors/runs.
+    Shingle hash = md5-60 of the word k-gram string; permutation j =
+    (a_j * (h mod P) + b_j) mod P with P = 2^31-1 (cross-engine safe
+    arithmetic, see shared_hash.py). Deterministic across runs/executors.
     """
-    a, b = _hash_params(num_hashes, seed)
-
-    from hashlib import blake2b
-
-    def fnv(s: str) -> int:
-        # stable 64-bit token hash at C speed (blake2b-8); name kept for
-        # history — the property that matters is process-independence
-        return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        B = np.uint64(1_000_003)
-        with np.errstate(over="ignore"):
-            for t in texts:
-                toks = (t or "").split()
-                hs = np.array([fnv(w) for w in toks], dtype=np.uint64)
-                if len(toks) < shingle_n:
-                    shingles = np.array(
-                        [hs.sum() if len(hs) else 0], dtype=np.uint64
-                    )
-                else:
-                    # polynomial combine of per-token hashes over the
-                    # shingle window — vectorized across positions
-                    m = len(toks) - shingle_n + 1
-                    shingles = np.zeros(m, dtype=np.uint64)
-                    for j in range(shingle_n):
-                        shingles = shingles * B + hs[j : j + m]
-                # (num_hashes, n_shingles) multiply-shift, min over shingles:
-                # native uint64 wraparound == mod 2^64, fully vectorized
-                hv = (a[:, None] * shingles[None, :] + b[:, None]) >> np.uint64(32)
-                out.append(hv.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig"))
+    a, b = perm_params(num_hashes, seed)
+    hashes = shingle_hashes_col(F.col(text_col), shingle_n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_sig_col(hashes, a, b).alias("sig"),
+    )
 
 
 def lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b).
 
     Shuffle profile: one explode (bands× fan-out), one groupBy on
-    (band, bucket), pairs generated inside each bucket via self-join on the
-    bucket key. Distinct at the end dedups pairs found in several bands.
+    (band, bucket), pairs generated inside each bucket from the collected
+    array. Distinct at the end dedups pairs found in several bands.
     """
     banded = sigs.select(
         "doc_id",
@@ -117,43 +125,17 @@ def lsh_candidates(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.hash(
-                    F.slice(
-                        "sig", i * rows_per_band + 1, rows_per_band
-                    ).cast("string")
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band).cast(
+                        "string"
+                    )
                 ).cast("long"),
             )
         ).alias("band", "bucket"),
     )
-    # one shuffle: gather each bucket's member list, emit pairs from the
-    # array in-place (no self-join), dedup across bands. max_bucket caps
-    # degenerate buckets (near-identical boilerplate floods) — standard
-    # LSH practice; capped buckets are still represented pairwise up to
-    # the cap after an in-bucket sort (deterministic).
-    max_bucket = 64
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .withColumn("ids", F.slice("ids", 1, max_bucket))
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "ids", i + 2, F.size("ids") - i - 1
-                        ),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    return _pairs_from_buckets(grouped, max_bucket, "minhash-lsh")
 
 
 def jaccard_verify(
@@ -164,24 +146,28 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs; keeps pairs >= threshold."""
-    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    joined = (
-        candidates.join(d.withColumnsRenamed({"_id": "id_a", "_t": "text_a"}), "id_a")
-        .join(d.withColumnsRenamed({"_id": "id_b", "_t": "text_b"}), "id_b")
+    """Exact word-n-gram Jaccard on candidate pairs (>= threshold kept).
+
+    Pure JVM: distinct shingle-string arrays joined to each side, then
+    array_intersect/size arithmetic — no UDF, and byte-reproducible by the
+    DuckDB oracle (list_intersect over the same shingles).
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            shingles_col(tokens_col(F.col(text_col)), shingle_n)
+        ).alias("_sh"),
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sx, sy = _token_ngrams(x or "", shingle_n), _token_ngrams(y or "", shingle_n)
-            u = len(sx | sy)
-            out[i] = len(sx & sy) / u if u else 0.0
-        return pd.Series(out)
-
+    joined = candidates.join(
+        d.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a"
+    ).join(d.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        joined.withColumn("jaccard", jac("text_a", "text_b"))
+        joined.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(0.0),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -195,10 +181,16 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline -> verified duplicate pairs."""
+    """Full MinHash-LSH near-dup pipeline -> verified duplicate pairs.
+
+    Recall: a pair at Jaccard s escapes all bands with probability
+    (1 - s^r)^b — at the shipped 16 bands × 4 rows and s >= 0.9 that is
+    ~4e-8, so the exact-Jaccard oracle (all-pairs in DuckDB) matches.
+    """
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, seed=seed)
-    cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    cands = lsh_candidates(sigs, bands, num_hashes // bands, max_bucket)
     return jaccard_verify(cands, docs, text_col, id_col, threshold=threshold)
 
 
@@ -208,82 +200,87 @@ def minhash_dedup(
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document (token-level, FNV-hashed)."""
-
-    @F.pandas_udf(T.LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            from hashlib import blake2b
-
-            hs = np.fromiter(
-                (
-                    int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
-                    for tok in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = int(
-                np.int64(
-                    np.uint64(
-                        sum(1 << k for k in range(64) if v[k] > 0) & 0xFFFFFFFFFFFFFFFF
-                    )
-                )
-            )
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
+    """60-bit SimHash per document (token multiset, md5-60 token hash) —
+    one JVM aggregate pass, reproducible by the DuckDB oracle."""
+    token_hashes = F.transform(tokens_col(F.col(text_col)), h60_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(token_hashes).alias("simhash")
+    )
 
 
 def simhash_near_dups(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 4 * DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Candidate pairs whose 64-bit SimHashes differ in <= max_hamming bits.
+    """Pairs whose 60-bit SimHashes differ in <= max_hamming bits.
 
-    Banding: split into 4×16-bit chunks — any pair within Hamming<=3 must
-    agree on at least one chunk (pigeonhole), so bucket-join on chunks then
-    verify with bit_count(xor).
+    Banding: split into 4×15-bit chunks — any pair within Hamming <= 3
+    must agree on at least one chunk (pigeonhole), so for max_hamming <= 3
+    the bucket join is *complete*, not probabilistic: the all-pairs DuckDB
+    oracle matches by construction. Candidates verified with
+    bit_count(xor). Bucket fan-out capped (logged, never silent); at the
+    verified scales no bucket reaches the cap, preserving completeness.
     """
+    n_chunks = 4
+    chunk_bits = SIMHASH_BITS // n_chunks  # 15
+    mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftright("simhash", k * 16).bitwiseAND(F.lit(0xFFFF)))
-                    for k in range(4)
+                    (F.shiftright("simhash", k * chunk_bits).bitwiseAND(F.lit(mask)))
+                    for k in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
     )
-    hot = (
-        chunks.groupBy("chunk_idx", "chunk").count().filter("count > 1").drop("count")
+    grouped = chunks.groupBy("chunk_idx", "chunk").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem")
     )
-    c2 = chunks.join(hot, ["chunk_idx", "chunk"], "left_semi")
-    a = c2.alias("a")
-    b = c2.select(
-        "chunk_idx", "chunk",
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("simhash_b"),
+    grouped = grouped.select(
+        "chunk_idx", "chunk", F.col("mem.doc_id").alias("ids"),
+        F.col("mem.simhash").alias("sh"),
+    )
+    buckets = grouped.filter(F.size("ids") > 1)
+    if max_bucket:
+        over = buckets.filter(F.size("ids") > max_bucket)
+        dropped = over.agg(
+            F.coalesce(F.sum(F.size("ids") - max_bucket), F.lit(0)).alias("d"),
+            F.count(F.lit(1)).alias("b"),
+        ).first()
+        if dropped["d"]:
+            logger.warning(
+                "simhash: capped %d buckets at %d members (dropped %d members)",
+                dropped["b"], max_bucket, dropped["d"],
+            )
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket)).withColumn(
+            "sh", F.slice("sh", 1, max_bucket)
+        )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.zip_with(
+                        F.slice("ids", i + 2, F.size("ids") - i - 1),
+                        F.slice("sh", i + 2, F.size("sh") - i - 1),
+                        lambda y, hy: F.struct(
+                            x.alias("id_a"),
+                            y.alias("id_b"),
+                            F.bit_count(
+                                F.element_at(F.col("sh"), i + 1).bitwiseXOR(hy)
+                            ).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
-        .select(
-            F.col("doc_id").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-            F.bit_count(
-                F.col("simhash").bitwiseXOR(F.col("simhash_b"))
-            ).alias("hamming"),
-        )
-        .distinct()
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -105,30 +105,54 @@ def hyperplane_lsh_topk(
     )
 
 
-def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, n_bits: int = 12, seed: int = 7,
+def multiband_signatures(
+    emb: DataFrame, dim: int, n_bits: int = 12, n_bands: int = 4, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine: LSH-bucket candidates,
-    exact cosine verify >= threshold."""
+    """(id, band, bucket): ``n_bands`` independent hyperplane signatures
+    per vector, computed in ONE Arrow pass (stacked plane matrix), then
+    posexploded. Multi-band is what gives LSH pair-recall: a pair at angle
+    θ escapes all bands with prob (1 - p^n_bits)^n_bands, p = 1 - θ/π."""
+    H = np.vstack([_hyperplanes(dim, n_bits, seed + b) for b in range(n_bands)])
+    pows = 1 << np.arange(n_bits)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (M @ H.T) > 0  # (batch, n_bands*n_bits)
+        bb = bits.reshape(len(M), -1, n_bits)  # (batch, n_bands, n_bits)
+        vals = (bb * pows).sum(axis=2).astype(np.int64)
+        return pd.Series(list(vals))
+
+    return emb.select(
+        F.col(id_col), buckets(F.col(vec_col)).alias("_bk")
+    ).select(id_col, F.posexplode("_bk").alias("band", "bucket"))
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_bits: int = 12, seed: int = 7,
+    n_bands: int = 4, max_bucket: int = 256,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: multi-band LSH-bucket
+    candidates (bounded fan-out, dropped mass logged — see
+    dedup._pairs_from_buckets), exact cosine verify >= threshold."""
+    from insar_spark.operators.dedup import _pairs_from_buckets
+
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    sigs = hyperplane_signatures(emb, dim, n_bits, seed, id_col, vec_col)
-    hot = sigs.groupBy("bucket").count().filter("count > 1").drop("count")
-    s2 = sigs.join(hot, "bucket", "left_semi")
-    a = s2.alias("a")
-    b = s2.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    sigs = multiband_signatures(emb, dim, n_bits, n_bands, seed, id_col, vec_col)
+    grouped = sigs.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
+    pairs = _pairs_from_buckets(grouped, max_bucket, "embedding-lsh")
+    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col(id_col) < F.col("id_b"))
+        pairs.join(v.withColumnsRenamed({"_id": "id_a", "_v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"_id": "id_b", "_v": "vb"}), "id_b")
         .select(
-            F.col(id_col).alias("id_a"),
-            "id_b",
-            cosine_col(F.col(vec_col), F.col("vec_b")).alias("cos_sim"),
+            "id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cos_sim")
         )
-        .distinct()
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -7,12 +7,8 @@ fingerprint run as vectorized Arrow UDFs over whole batches.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # tiny public-knowledge stopword profiles for the n-gram/word heuristic
 _LANG_PROFILES: dict[str, frozenset[str]] = {
@@ -28,29 +24,27 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """Heuristic language ID: argmax stopword-hit rate over tiny profiles.
 
     Returns (id, lang_pred, lang_score). Unknown (no hits) -> 'und'.
+    Entirely JVM expressions (size(filter(tokens, isin))/n per profile, then
+    a first-equal-to-max CASE chain in profile order — identical to a
+    strict-greater argmax scan), so the DuckDB oracle can replicate it.
     """
-    profiles = {k: v for k, v in _LANG_PROFILES.items()}
-
-    @F.pandas_udf("lang_pred string, lang_score double")
-    def lid(texts: pd.Series) -> pd.DataFrame:
-        preds, scores = [], []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best, best_s = "und", 0.0
-            for lang, words in profiles.items():
-                s = sum(1 for w in toks if w in words) / len(toks)
-                if s > best_s:
-                    best, best_s = lang, s
-            preds.append(best)
-            scores.append(best_s)
-        return pd.DataFrame({"lang_pred": preds, "lang_score": scores})
-
-    return df.select(F.col(id_col), lid(F.col(text_col)).alias("l")).select(
-        id_col, "l.lang_pred", "l.lang_score"
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n = F.size(toks)
+    scores = {
+        lang: F.when(n > 0, F.size(
+            F.filter(toks, lambda t: t.isin(*sorted(words)))
+        ).cast("double") / n).otherwise(0.0)
+        for lang, words in _LANG_PROFILES.items()
+    }
+    langs = list(_LANG_PROFILES)
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.when(best > 0.0, best).otherwise(0.0).alias("lang_score"),
     )
 
 
@@ -101,42 +95,17 @@ def winnowing_fingerprints(
 
     Returns (id, fingerprints array<long>) — near-dup candidates are pairs
     sharing any fingerprint (explode + groupBy, linear shuffle).
+
+    JVM-side: k-gram hash = md5-60 of the word k-gram string (cross-engine,
+    shared_hash.py), picks = sliding-window min (window expression) —
+    byte-reproducible by the DuckDB oracle.
     """
+    from insar_spark.functions.shared_hash import shingle_hashes_col, winnow_col
 
-    from hashlib import blake2b
-
-    def hash_stable(s: str) -> int:
-        return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def fp(texts: pd.Series) -> pd.Series:
-        B, M = 1_000_003, (1 << 61) - 1
-        bk = pow(B, k - 1, M)
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            n = len(toks)
-            hs = [hash_stable(w) for w in toks]
-            if n < k:
-                out.append([int(sum(hs) % M)] if n else [])
-                continue
-            # rolling polynomial (Karp-Rabin) hash over k-grams
-            kg = np.empty(n - k + 1, dtype=np.int64)
-            h = 0
-            for i in range(k):
-                h = (h * B + hs[i]) % M
-            kg[0] = h
-            for i in range(1, n - k + 1):
-                h = ((h - hs[i - 1] * bk) * B + hs[i + k - 1]) % M
-                kg[i] = h
-            # winnow: the min of each sliding window of k-gram hashes
-            picks = set()
-            for i in range(max(1, len(kg) - window + 1)):
-                picks.add(int(kg[i : i + window].min()))
-            out.append(sorted(picks))
-        return pd.Series(out)
-
-    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+    kg = shingle_hashes_col(F.col(text_col), k)
+    return df.select(
+        F.col(id_col), winnow_col(kg, window).alias("fingerprints")
+    )
 
 
 def fingerprint_candidates(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
