@@ -817,18 +817,36 @@ def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression pack surface: per-series Gorilla blob sizes (deterministic
-    given the data; round-trip exactness proven by hypothesis tests)."""
-    from insar_spark.operators.compression import compress_series
+    """Gorilla round-trip identity: compress each series (delta-of-delta ts +
+    XOR values), decompress, and aggregate the decoded rows. Because the
+    codec is lossless, the oracle is the same aggregation straight off the
+    source table — any encode/decode defect breaks the value hash."""
+    from insar_spark.operators.compression import (
+        compress_series,
+        decompress_series,
+    )
 
     t = events_series(spark, sf_dir)
-    blobs = compress_series(t)
-    return blobs.select(
-        "conv_id",
-        "n_points",
-        F.length("ts_blob").alias("ts_bytes"),
-        F.length("v_blob").alias("v_bytes"),
+    dec = decompress_series(compress_series(t))
+    return dec.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        _r(F.sum("v")).alias("sum_v"),
+        _r(F.min("v")).alias("min_v"),
+        _r(F.max("v")).alias("max_v"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
     )
+
+
+_SQL_GORILLA = (
+    SERIES_CTE
+    + """
+SELECT conv_id, count(*) AS n_points,
+       round(sum(v), 6) AS sum_v, round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v, min(ts) AS ts_min, max(ts) AS ts_max
+FROM t GROUP BY conv_id
+"""
+)
 
 
 # --------------------------------------------- training-data ops (wave C)
@@ -982,6 +1000,11 @@ FROM g
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane LSH (query bucket + all buckets within 2 bit
+    flips, exact cosine rerank). The oracle is a full independent SQL
+    re-execution: the seeded unit hyperplanes are inlined as literals, the
+    bucket is recomputed from sign bits, multiprobe == Hamming(bucket,
+    query_bucket) <= 2, then the same rerank — parity by construction."""
     from insar_spark.operators.similarity import hyperplane_lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -991,40 +1014,199 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_planes_literal(n_bits: int, dim: int, seed: int) -> str:
+    from insar_spark.operators.similarity import _hyperplanes
+
+    H = _hyperplanes(dim, n_bits, seed)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in H
+    )
+    return f"[{rows}]"
+
+
+def _sql_sim_lsh(n_bits: int = 10, dim: int = 64, seed: int = 7, k: int = 20) -> str:
+    planes = _sql_planes_literal(n_bits, dim, seed)
+    return f"""
+WITH h AS (SELECT {planes} AS H),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, {n_bits}), j ->
+           CASE WHEN list_dot_product(v, H[j + 1]) > 0
+                THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bucket
+  FROM e CROSS JOIN h
+),
+q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 4) AS cos_sim
+FROM sig s CROSS JOIN q
+WHERE bit_count(xor(s.bucket, q.qb)) <= 2
+ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+LIMIT {k}
+"""
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (deterministic Lloyd's: first-8 init, 2 iterations
+    on the ordered 512-row sample), probing the 3 cells nearest the query,
+    exact cosine rerank. The oracle re-runs the ENTIRE pipeline — training
+    included — as unrolled SQL CTEs, so assignment, probe selection and
+    rerank are all value-checked."""
     from insar_spark.operators.similarity import ivf_topk, train_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    C = train_centroids(emb, n_centroids=8, sample_rows=512)
+    C = train_centroids(
+        emb, n_centroids=8, iters=2, sample_rows=512, init="first"
+    )
     return ivf_topk(emb, qv, C, k=20, n_probe=3).select(
         "vec_id", _r("cos_sim", 4).alias("cos_sim")
     )
 
 
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    verify (rows-only; planted-pair correctness in pytest)."""
-    from insar_spark.operators.similarity import embedding_near_dups
-
-    emb = load(spark, sf_dir, "embeddings")
-    # random test embeddings have no true near-dups; 0.25 surfaces the
-    # most-similar bucket-mates so the query demonstrably returns pairs
-    return embedding_near_dups(emb, threshold=0.25, n_bits=10).select(
-        "id_a", "id_b", _r("cos_sim", 4).alias("cos_sim")
+def _sql_sim_ivf(
+    n_centroids: int = 8, iters: int = 2, sample_rows: int = 512,
+    n_probe: int = 3, k: int = 20, dim: int = 64,
+) -> str:
+    """Unrolled Lloyd's-in-SQL: c{t} = centroids after t iterations.
+    Assignment = arg_min over squared L2; empty cells keep the previous
+    centroid (coalesce in the full outer join)."""
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])))"
+    ).format(dim=dim)
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"smp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample_rows})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM smp ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"a{t} AS (SELECT s.vec_id, s.v, arg_min(c.cid, {d2}) AS cell "
+            f"FROM smp s CROSS JOIN c{t} c GROUP BY s.vec_id, s.v)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cell AS cid, list(m ORDER BY i) AS c FROM ("
+            f"SELECT cell, i, avg(v[i]) AS m FROM a{t} "
+            f"CROSS JOIN range(1, {dim} + 1) t(i) GROUP BY cell, i) GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT p.cid, coalesce(m.c, p.c) AS c "
+            f"FROM c{t} p LEFT JOIN m{t} m ON p.cid = m.cid)"
+        )
+    final = f"c{iters}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+pr AS (
+  SELECT c.cid FROM {final} c CROSS JOIN q
+  ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid
+  LIMIT {n_probe}
+),
+asg AS (SELECT s.vec_id, s.v, arg_min(c.cid, {d2}) AS cell
+        FROM e s CROSS JOIN {final} c GROUP BY s.vec_id, s.v)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 4) AS cos_sim
+FROM asg a CROSS JOIN q
+WHERE a.cell IN (SELECT cid FROM pr)
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+LIMIT {k}
+"""
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from insar_spark.operators.multimodal import extract_features, synth_media
+_PLANT_N = 25  # planted near-dup copies for the embedding-dedup contract
+_PLANT_EPS = 0.003
+_PLANT_OFFSET = 100_000
 
-    return extract_features(synth_media(spark, n=64)).select(
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-band hyperplane-LSH buckets
+    + exact cosine verify. The test corpus is random (max base cosine ~0.51),
+    so 25 near-dups are planted with deterministic arithmetic both engines
+    can reproduce: v' = v + eps*(((vec_id+i) mod 5) - 2). At the planted
+    cosine (~0.9994) the 6-band x 12-bit LSH misses a pair with prob ~3e-6,
+    so the all-pairs DuckDB oracle matches."""
+    from insar_spark.operators.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < _PLANT_N).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(_PLANT_EPS) * (((F.col("vec_id") + i) % 5).cast("double") - 2),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return embedding_near_dups(
+        corpus, threshold=0.95, n_bits=12, n_bands=6
+    ).select("id_a", "id_b", _r("cos_sim", 4).alias("cos_sim"))
+
+
+_SQL_EMB_NEAR_DUPS = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+         list_transform(v, (x, i) ->
+           x + {_PLANT_EPS} * (((vec_id + i - 1) % 5) - 2)) AS v
+  FROM base WHERE vec_id < {_PLANT_N}
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+"""
+
+
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over real binary payloads: media rows are
+    derived deterministically from the documents table (payload = utf-8
+    text bytes), run through the byte-budgeted mapInPandas decode +
+    feature-extract path, so the DuckDB oracle can recompute the tiled
+    pixel-buffer mean/std arithmetically without running the codec."""
+    from insar_spark.operators.multimodal import extract_features, media_from_docs
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(media_from_docs(docs)).select(
         "media_id",
         "kind",
         _r("feat_mean", 4).alias("feat_mean"),
         _r("feat_std", 4).alias("feat_std"),
-        "n_bytes",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
     )
+
+
+_SQL_MULTIMODAL = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         text, length(text) AS n,
+         (8 + length(text) % 56) * (8 + (doc_id * 7) % 56) AS need
+  FROM documents
+), c AS (
+  SELECT media_id, kind, n, need,
+         need // n AS reps, need % n AS rem,
+         list_transform(range(1, n + 1), i -> ord(text[i:i])) AS o
+  FROM d
+), s AS (
+  SELECT media_id, kind, n, need,
+         (reps * list_sum(o) + coalesce(list_sum(o[1:rem]), 0))::DOUBLE
+           / need AS mean,
+         (reps * list_sum(list_transform(o, x -> x * x))
+          + coalesce(list_sum(list_transform(o[1:rem], x -> x * x)), 0))::DOUBLE
+           / need AS ex2
+  FROM c
+)
+SELECT media_id, kind, round(mean, 4) AS feat_mean,
+       round(sqrt(ex2 - mean * mean), 4) AS feat_std, n AS n_bytes
+FROM s
+"""
 
 
 # ------------------------------------------------------ wave D operators
@@ -1508,6 +1690,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_dedup_simhash(),
         "dedup_fingerprint_pairs": _sql_dedup_fingerprint(),
         "lang_id_heuristic": _sql_lang_id(),
+        "gorilla_compress_stats": _SQL_GORILLA,
+        "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
+        "multimodal_features": _SQL_MULTIMODAL,
+        "sim_lsh_topk": _sql_sim_lsh(),
+        "sim_ivf_topk": _sql_sim_ivf(),
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
         # w5_lowess_smooth (robust iterations), w7_gapfill_spline

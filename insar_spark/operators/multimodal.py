@@ -81,6 +81,32 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def media_from_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table derived from a text corpus: the payload is
+    the utf-8 text bytes and the metadata is pure arithmetic on
+    (doc_id, length(text)) — so an independent SQL engine can re-derive the
+    decoded-feature oracle without running the codec. The decode path
+    downstream is byte-for-byte the same stub/real interface as synth_media.
+    """
+    did = F.col(id_col)
+    return docs.select(
+        did.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (did % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (F.lit(8) + F.length(text_col) % 56).cast("int").alias("width"),
+            (F.lit(8) + (did * 7) % 56).cast("int").alias("height"),
+            F.lit(16_000).alias("sample_rate"),
+            (F.lit(1) + did % 99).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(
     media: DataFrame, max_batch_bytes: int = 64 << 20, thumb_side: int = 4
 ) -> DataFrame:

@@ -163,20 +163,30 @@ def embedding_near_dups(
 def train_centroids(
     emb: DataFrame, n_centroids: int = 16, iters: int = 5, seed: int = 11,
     sample_rows: int = 4096, vec_col: str = "embedding",
+    id_col: str = "vec_id", init: str = "seeded",
 ) -> np.ndarray:
-    """Deterministic mini Lloyd's on a seeded sample (driver-side numpy).
+    """Deterministic mini Lloyd's on a sample (driver-side numpy).
 
-    At cluster scale you'd train on a fraction and broadcast; the sample is
-    taken with a fixed seed so runs are reproducible.
+    The sample is the ``sample_rows`` lowest ids (an explicit ORDER BY, not
+    a bare LIMIT — Spark's limit has no defined row order). ``init`` is
+    either ``"seeded"`` (fixed-seed random pick from the sample) or
+    ``"first"`` (the first ``n_centroids`` sample rows — fully
+    re-derivable by an independent SQL engine, used by the oracle-checked
+    contract query). At cluster scale you'd train on a fraction and
+    broadcast; both inits are reproducible across runs.
     """
     sample = np.stack(
-        emb.select(vec_col)
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
         .limit(sample_rows)
         .toPandas()[vec_col]
         .to_numpy()
     ).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    if init == "first":
+        C = sample[:n_centroids].copy()
+    else:
+        rng = np.random.default_rng(seed)
+        C = sample[rng.choice(len(sample), n_centroids, replace=False)]
     for _ in range(iters):
         d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
