@@ -805,6 +805,98 @@ def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w5_lowess_1pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (single-pass variant): locally-weighted linear regression with
+    tricube distance weights over a ±7-day neighborhood, no robustness
+    iterations — SQL-expressible, so unlike the robust it=2 flagship this
+    one is value-hash oracle-checked (the oracle recomputes windows,
+    two-point expansion, weights and the weighted fit in DuckDB)."""
+    from insar_spark.operators.smoothing import lowess_smooth
+
+    t = events_series(spark, sf_dir)
+    return lowess_smooth(t, "v", min_span_days=14.0, it=0).select(
+        "conv_id", "ts", _r("smooth").alias("smooth")
+    )
+
+
+_SQL_W5_1PASS = (
+    SERIES_CTE
+    + """
+, tt AS (
+  SELECT conv_id, ts, v, epoch_us(ts) / 1000000.0 / 86400.0 AS x,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+), rng AS (
+  SELECT a.conv_id, a.rn AS i, b.rn AS j
+  FROM tt a JOIN tt b ON a.conv_id = b.conv_id
+   AND b.x >= a.x - 7.0 AND b.x <= a.x + 7.0
+), cnt AS (
+  SELECT conv_id, i, count(*) AS c FROM rng GROUP BY conv_id, i
+), ext AS (
+  SELECT conv_id, i, j FROM rng
+  UNION
+  SELECT conv_id, i, CASE WHEN i > 1 THEN i - 1 ELSE i + 1 END
+  FROM cnt WHERE c < 2
+), w0 AS (
+  SELECT e.conv_id, e.i, a.x AS xi, a.ts AS tsi, b.x AS xj, b.v AS vj,
+         abs(b.x - a.x) AS d
+  FROM ext e
+  JOIN tt a ON a.conv_id = e.conv_id AND a.rn = e.i
+  JOIN tt b ON b.conv_id = e.conv_id AND b.rn = e.j
+), wd AS (
+  SELECT *, max(d) OVER (PARTITION BY conv_id, i) AS dmax0 FROM w0
+), wt AS (
+  SELECT conv_id, i, xi, tsi, xj, vj,
+         pow(1.0 - pow(least(d / (CASE WHEN dmax0 = 0 THEN 1.0 ELSE dmax0 END),
+                             1.0), 3), 3) AS w
+  FROM wd
+), fit1 AS (
+  SELECT conv_id, i, any_value(xi) AS xi, any_value(tsi) AS tsi,
+         sum(w) AS sw, sum(w * xj) / sum(w) AS xm, sum(w * vj) / sum(w) AS ym
+  FROM wt GROUP BY conv_id, i
+), fit2 AS (
+  SELECT w.conv_id, w.i, f.xi, f.tsi, f.xm, f.ym,
+         sum(w.w * (w.xj - f.xm) * (w.xj - f.xm)) AS sxx,
+         sum(w.w * (w.xj - f.xm) * (w.vj - f.ym)) AS sxy
+  FROM wt w JOIN fit1 f ON w.conv_id = f.conv_id AND w.i = f.i
+  GROUP BY w.conv_id, w.i, f.xi, f.tsi, f.xm, f.ym
+)
+SELECT conv_id, tsi AS ts,
+       round(ym + (CASE WHEN sxx <= 1e-12 * greatest(1.0, xm * xm) THEN 0.0
+                        ELSE sxy / sxx END) * (xi - xm), 6) AS smooth
+FROM fit2
+"""
+)
+
+
+def q_w6_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: gaussian temporal filter (insar/solve_sbas.py:99-106 filter_aps,
+    time-axis part) — gaussian-weighted moving average over ±3σ, σ = 1h.
+    Oracle: the same weighted mean via a range self-join in DuckDB."""
+    from insar_spark.operators.smoothing import gaussian_time_filter
+
+    t = events_series(spark, sf_dir)
+    return gaussian_time_filter(t, "v", sigma_sec=3600.0, cutoff=3.0).select(
+        "conv_id", "turn_idx", _r("smooth").alias("smooth")
+    )
+
+
+_SQL_W6 = (
+    SERIES_CTE
+    + """
+, tt AS (SELECT conv_id, turn_idx, v, epoch_us(ts) AS us FROM t)
+SELECT a.conv_id, a.turn_idx,
+       round(sum(exp(-(((b.us - a.us) / 1000000.0) * ((b.us - a.us) / 1000000.0))
+                     / (2.0 * 3600.0 * 3600.0)) * b.v)
+             / sum(exp(-(((b.us - a.us) / 1000000.0) * ((b.us - a.us) / 1000000.0))
+                     / (2.0 * 3600.0 * 3600.0))), 6) AS smooth
+FROM tt a JOIN tt b ON a.conv_id = b.conv_id
+ AND b.us >= a.us - 10800000000 AND b.us <= a.us + 10800000000
+GROUP BY a.conv_id, a.turn_idx
+"""
+)
+
+
 def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 spline variant (UDF path — no SQL oracle; covered by
     tests/test_gapfill.py kernel parity)."""
@@ -1610,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_regexp_extract": q_c1_regexp_extract,
         "sbas_solve_bandwidth1": q_sbas_solve_bandwidth1,
         "w5_lowess_smooth": q_w5_lowess_smooth,
+        "w5_lowess_1pass": q_w5_lowess_1pass,
+        "w6_temporal_filter": q_w6_temporal_filter,
         "w7_gapfill_spline": q_w7_gapfill_spline,
         "gorilla_compress_stats": q_gorilla_compress_stats,
         "text_tokens_bpe": q_text_tokens_bpe,
@@ -1695,6 +1789,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "sim_lsh_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
+        "w5_lowess_1pass": _SQL_W5_1PASS,
+        "w6_temporal_filter": _SQL_W6,
         # Non-SQL-expressible UDF paths (rows-only driver check; exactness
         # proven by kernel-parity / planted-fixture pytest oracles):
         # w5_lowess_smooth (robust iterations), w7_gapfill_spline

@@ -67,6 +67,61 @@ def lowess_smooth(
     return keyed_map(df.select(*cols), KEY, sort, smooth, schema)
 
 
+def gaussian_time_filter(
+    df: DataFrame,
+    value_col: str = "v",
+    sigma_sec: float = 3600.0,
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """W6: gaussian-weighted moving average over the time axis — the
+    transcript analog of the reference's temporal gaussian filter
+    (insar/solve_sbas.py:99-106 ``filter_aps``, time-axis part), adapted to
+    irregular sampling: smooth_i = sum_j w_ij v_j / sum_j w_ij with
+    w_ij = exp(-(dt/sigma)^2 / 2) over neighbors within ``cutoff``*sigma.
+
+    Pure JVM: a RANGE window collects the (t, v) neighbor structs once per
+    row, then a single aggregate expression folds the weighted sums — no
+    UDF, no self-join shuffle (the window reuses the per-series sort).
+    """
+    from pyspark.sql import Column, Window
+
+    from insar_spark.functions.shared_hash import let_col
+
+    half_us = int(cutoff * sigma_sec * 1e6)
+
+    def smooth(ps: Column, us_i: Column) -> Column:
+        two_s2 = F.lit(2.0 * sigma_sec * sigma_sec)
+
+        def merge(acc: Column, p: Column) -> Column:
+            dt = (p["us"] - us_i) / F.lit(1e6)
+            wgt = F.exp(-(dt * dt) / two_s2)
+            return F.struct(
+                (acc["n"] + wgt * p["v"]).alias("n"),
+                (acc["d"] + wgt).alias("d"),
+            )
+
+        return F.aggregate(
+            ps,
+            F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("d")),
+            merge,
+            lambda acc: acc["n"] / acc["d"],
+        )
+
+    return df.withColumn("_us", F.unix_micros("ts")).withColumn(
+        "smooth",
+        let_col(
+            F.collect_list(
+                F.struct(F.col("_us").alias("us"), F.col(value_col).alias("v"))
+            ).over(
+                Window.partitionBy(KEY)
+                .orderBy("_us")
+                .rangeBetween(-half_us, half_us)
+            ),
+            lambda ps: smooth(ps, F.col("_us")),
+        ),
+    ).drop("_us")
+
+
 def polyfit_deg1(df: DataFrame, value_col: str = "v") -> DataFrame:
     """Closed-form linear fit per series: slope per day + intercept.
 

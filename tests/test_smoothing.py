@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from insar_spark.functions.lowess_kernel import lowess_xy
 from insar_spark.operators.smoothing import lowess_smooth, polyfit_deg1, polyfit_series
 
@@ -79,3 +81,35 @@ def test_lowess_spark_matches_kernel(spark, trend_series):
         exp = lowess_xy(x, g["v"].to_numpy(), min_x_weighted=10.0, it=1)
         mine = got[got.conv_id == cid]["smooth"].to_numpy()
         np.testing.assert_allclose(mine, exp, atol=1e-9, err_msg=cid)
+
+
+def test_gaussian_time_filter_matches_numpy(spark, trend_series):
+    from insar_spark.operators.smoothing import gaussian_time_filter
+
+    sigma, cutoff = 3600.0, 3.0
+    got = (
+        gaussian_time_filter(trend_series, "v", sigma_sec=sigma, cutoff=cutoff)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pdf = trend_series.toPandas().sort_values(["conv_id", "ts"])
+    for cid, g in pdf.groupby("conv_id"):
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64") / 1e6
+        y = g["v"].to_numpy()
+        exp = np.empty(len(t))
+        for i in range(len(t)):
+            dt_ = t - t[i]
+            m = np.abs(dt_) <= cutoff * sigma
+            w = np.exp(-(dt_[m] ** 2) / (2 * sigma**2))
+            exp[i] = (w * y[m]).sum() / w.sum()
+        mine = got[got.conv_id == cid]["smooth"].to_numpy()
+        np.testing.assert_allclose(mine, exp, atol=1e-9, err_msg=cid)
+
+
+def test_gaussian_filter_constant_is_identity(spark, trend_series):
+    from insar_spark.operators.smoothing import gaussian_time_filter
+
+    const = trend_series.withColumn("v", F.lit(5.0))
+    out = gaussian_time_filter(const, "v", sigma_sec=1800.0).toPandas()
+    np.testing.assert_allclose(out["smooth"].to_numpy(), 5.0, atol=1e-12)
