@@ -44,10 +44,26 @@ def ord_key(ts: str = "ts", turn_idx: str = "turn_idx") -> Column:
     Millis (not micros) keeps the product inside int64 through year 2200+;
     turn_idx is the designated tie-breaker below the millisecond, per the
     stable-turn-ordering invariant (FIXTURES.md §1).
+
+    turn_idx >= 2^20 would bleed into the next millisecond and silently
+    corrupt first/last ordering, so the packing fails loudly instead
+    (raise_error) — a mega-conversation past ~10^6 turns must route
+    through the composite (ts, turn_idx) ordering, not the packed key.
     """
+    guarded_idx = F.when(
+        F.col(turn_idx) < F.lit(1 << 20), F.col(turn_idx)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ord_key overflow: turn_idx %s >= 2^20 no longer fits below "
+                "the millisecond; use composite (ts, turn_idx) ordering",
+                F.col(turn_idx).cast("string"),
+            )
+        ).cast("long")
+    )
     return (
         F.floor(F.unix_micros(F.col(ts)) / F.lit(1000)) * F.lit(1 << 20)
-        + F.col(turn_idx)
+        + guarded_idx
     ).alias("ord")
 
 

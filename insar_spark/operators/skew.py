@@ -64,16 +64,22 @@ def chunked_turn_deltas(
 ) -> DataFrame:
     """W1 deltas with bounded task size for mega-series.
 
-    Requires ``turn_idx`` to be the series order (the transcripts
-    invariant). The chunk id joins the partition key, so one task never
-    holds more than ``chunk_size`` rows of a series; boundary rows (first
-    of each chunk) get their delta from the previous chunk's last row via
-    an equi-join on (conv_id, chunk-1) — a tiny shuffle (2 rows per chunk).
+    Requires ``turn_idx`` to be the CONTIGUOUS series order (0..n-1, the
+    transcripts invariant) — chunk ids are then gap-free, so every chunk's
+    head has a predecessor chunk tail to hand off from. The chunk id joins
+    the partition key, so one task never holds more than ``chunk_size``
+    rows of a series; boundary rows (the true first row of each chunk,
+    identified by row_number — NOT by a NULL lag, which a legitimately
+    NULL-valued predecessor row would also produce) get their delta from
+    the previous chunk's last row via an equi-join on (conv_id, chunk-1) —
+    a tiny shuffle (2 rows per chunk). Bit-identical to the unchunked
+    operator, including around NULL values (tested).
     """
     chunked = df.withColumn("_chunk", F.floor(F.col("turn_idx") / chunk_size))
     w = Window.partitionBy(KEY, "_chunk").orderBy("ts", "turn_idx")
     intra = (
-        chunked.withColumn("_pv", F.lag(value_col).over(w))
+        chunked.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_pv", F.lag(value_col).over(w))
         .withColumn("_pt", F.lag("ts").over(w))
     )
 
@@ -86,10 +92,11 @@ def chunked_turn_deltas(
         )
         .withColumn("_chunk", F.col("_chunk") + 1)
     )
+    head = F.col("_rn") == 1
     repaired = (
         intra.join(tail, [KEY, "_chunk"], "left")
-        .withColumn("_pv", F.coalesce("_pv", "_tail_v"))
-        .withColumn("_pt", F.coalesce("_pt", "_tail_ts"))
+        .withColumn("_pv", F.when(head, F.col("_tail_v")).otherwise(F.col("_pv")))
+        .withColumn("_pt", F.when(head, F.col("_tail_ts")).otherwise(F.col("_pt")))
     )
     return (
         repaired.withColumn("delta_v", F.col(value_col) - F.col("_pv"))
@@ -97,7 +104,7 @@ def chunked_turn_deltas(
             "dt_sec",
             (F.unix_micros("ts") - F.unix_micros("_pt")) / F.lit(1_000_000.0),
         )
-        .drop("_pv", "_pt", "_chunk", "_tail_v", "_tail_ts")
+        .drop("_rn", "_pv", "_pt", "_chunk", "_tail_v", "_tail_ts")
     )
 
 

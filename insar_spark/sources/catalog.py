@@ -29,9 +29,11 @@ insar/timeseries.py:152-153).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +80,36 @@ class TierStore:
         p = os.path.join(self.root, f"tier={tier}")
         return os.path.join(p, f"day={day}") if day else p
 
+    def _stage_and_promote(
+        self, write, tier: str, prefix: str
+    ) -> dict[str, list[str]]:
+        """Write through a unique staging dir, then move the data files into
+        their final day directories under snapshot-unique names.
+
+        Returns {day: [filename, ...]} for the manifest. Crash safety: a
+        crash before the move leaves files only in staging (never read,
+        vacuumable); a crash mid-move leaves unmanifested files in day dirs
+        which read_tier ignores (it scans the manifest's file list, not the
+        directory) — so a re-run never produces duplicate rows.
+        """
+        staging = os.path.join(self.root, "_staging", f"{prefix}-{uuid.uuid4().hex[:8]}")
+        write(staging)
+        out: dict[str, list[str]] = {}
+        for day_dir in sorted(glob.glob(os.path.join(staging, "day=*"))):
+            day = os.path.basename(day_dir).split("=", 1)[1]
+            dest = self.tier_path(tier, day)
+            os.makedirs(dest, exist_ok=True)
+            names = []
+            for f in sorted(os.listdir(day_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                new = f"{prefix}-{f}"
+                os.replace(os.path.join(day_dir, f), os.path.join(dest, new))
+                names.append(new)
+            out[day] = names
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
     def write_tier_log(
         self,
         rolled: DataFrame,
@@ -102,12 +134,15 @@ class TierStore:
             "day", F.date_format("window_start", "yyyy-MM-dd")
         )
         n = df.count()
-        (
-            df.repartition(2, "day")
-            .write.partitionBy("day")
-            .mode("append")
-            .option("compression", "zstd")
-            .parquet(self.tier_path(tier))
+        files = self._stage_and_promote(
+            lambda staging: (
+                df.repartition(2, "day")
+                .write.partitionBy("day")
+                .option("compression", "zstd")
+                .parquet(staging)
+            ),
+            tier,
+            tag,
         )
         man["snapshots"].append(
             {
@@ -118,11 +153,11 @@ class TierStore:
                 "run_params": run_params or {},
             }
         )
-        days = {
-            r["day"] for r in df.select("day").distinct().collect()
-        }
-        for d in days:
-            man["partitions"].setdefault(d, {"rows": None, "log": True})
+        for d, names in files.items():
+            part = man["partitions"].setdefault(
+                d, {"rows": None, "log": True, "files": []}
+            )
+            part.setdefault("files", []).extend(names)
         self._commit(tier, man)
         return {"written": n, "skipped_epoch": None}
 
@@ -188,16 +223,18 @@ class TierStore:
         if not stats:
             return {"written_days": [], "skipped_days": sorted(done)}
 
-        (
-            df.repartition(files_per_partition, "day", "conv_id")
-            .sortWithinPartitions("day", "conv_id", "window_start")
-            .write.partitionBy("day")
-            .mode("append")
-            .option("compression", "zstd")
-            .parquet(self.tier_path(tier))
-        )
-
         snap_id = len(man["snapshots"]) + 1
+        files = self._stage_and_promote(
+            lambda staging: (
+                df.repartition(files_per_partition, "day", "conv_id")
+                .sortWithinPartitions("day", "conv_id", "window_start")
+                .write.partitionBy("day")
+                .option("compression", "zstd")
+                .parquet(staging)
+            ),
+            tier,
+            f"snap{snap_id}",
+        )
         man["snapshots"].append(
             {
                 "id": snap_id,
@@ -207,19 +244,36 @@ class TierStore:
             }
         )
         for day, s in stats.items():
-            man["partitions"][day] = {**s, "snapshot": snap_id}
+            man["partitions"][day] = {
+                **s,
+                "snapshot": snap_id,
+                "files": files.get(day, []),
+            }
         self._commit(tier, man)
         return {"written_days": sorted(stats), "skipped_days": sorted(done)}
 
     # -------------------------------------------------------------- read
 
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
-        """Scan only partitions live in the manifest (time travel-lite:
-        expired days are invisible even before their files are vacuumed)."""
-        live = sorted(self.committed_days(tier))
-        df = spark.read.option("basePath", self.tier_path(tier)).parquet(
-            *[self.tier_path(tier, d) for d in live]
-        )
+        """Scan only the files committed in the manifest (time travel-lite:
+        expired days — and orphan files from a crashed write — are
+        invisible even before they are vacuumed)."""
+        man = self.manifest(tier)
+        live = sorted(man["partitions"])
+        if not live:
+            raise ValueError(
+                f"tier '{tier}' has no committed partitions "
+                f"(manifest {self._manifest_path(tier)})"
+            )
+        paths = []
+        for d in live:
+            names = man["partitions"][d].get("files")
+            day_dir = self.tier_path(tier, d)
+            if names:
+                paths.extend(os.path.join(day_dir, n) for n in names)
+            else:  # pre-file-tracking manifest: whole-directory fallback
+                paths.append(day_dir)
+        df = spark.read.option("basePath", self.tier_path(tier)).parquet(*paths)
         # partition-column inference would type `day` as DATE; keep the
         # manifest's string form for a stable schema
         return df.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
@@ -251,26 +305,68 @@ class TierStore:
             shutil.rmtree(self.tier_path(tier, d), ignore_errors=True)
         return expired
 
-    def compact(self, spark: SparkSession, tier: str, day: str) -> int:
-        """Rewrite one day-partition to a single zstd file (small-file
-        compaction; Iceberg rewrite_data_files analog). Returns row count."""
+    def compact(
+        self,
+        spark: SparkSession,
+        tier: str,
+        day: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Rewrite one day-partition into size-targeted zstd files
+        (small-file compaction; Iceberg rewrite_data_files analog).
+
+        The rewrite is side-by-side, never in-place: new files land next to
+        the old ones under a snapshot-unique prefix, THEN the manifest swaps
+        the file list, THEN the old files are vacuumed — a crash at any
+        point leaves one complete committed file set readable (no
+        rmtree-then-rename window). Output file count is sized by the
+        current partition bytes / ``target_file_bytes`` (not coalesce(1),
+        which would serialize a 100-TB day through one task).
+        Returns the row count.
+        """
+        import math
+
+        man = self.manifest(tier)
+        if day not in man["partitions"]:
+            raise ValueError(f"day {day} not committed in tier '{tier}'")
         path = self.tier_path(tier, day)
-        df = spark.read.parquet(path).cache()
+        old_names = man["partitions"][day].get("files") or [
+            f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        ]
+        old_paths = [os.path.join(path, f) for f in old_names]
+        total_bytes = sum(os.path.getsize(p) for p in old_paths)
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+        df = spark.read.parquet(*old_paths).cache()
         n = df.count()
-        tmp = path + ".compact"
+        snap_id = len(man["snapshots"]) + 1
+        staging = os.path.join(
+            self.root, "_staging", f"compact{snap_id}-{uuid.uuid4().hex[:8]}"
+        )
         (
-            df.coalesce(1)
+            df.repartition(n_files, "conv_id")
             .sortWithinPartitions("conv_id", "window_start")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(tmp)
+            .write.option("compression", "zstd")
+            .parquet(staging)
         )
         df.unpersist()
-        shutil.rmtree(path)
-        os.replace(tmp, path)
-        man = self.manifest(tier)
+        new_names = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            new = f"compact{snap_id}-{f}"
+            os.replace(os.path.join(staging, f), os.path.join(path, new))
+            new_names.append(new)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        man["partitions"][day]["files"] = new_names
         man["snapshots"].append(
-            {"id": len(man["snapshots"]) + 1, "op": "compact", "days": [day]}
+            {"id": snap_id, "op": "compact", "days": [day], "files": len(new_names)}
         )
         self._commit(tier, man)
+        for p in old_paths:  # vacuum the replaced generation
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
         return n

@@ -152,3 +152,54 @@ def test_seal_before_prevents_partial_day_commit(spark, store):
     )
     pd.testing.assert_frame_equal(stored[direct.columns.tolist()], direct, check_exact=True)
     full.unpersist()
+
+
+def test_orphan_files_from_crashed_write_are_invisible(spark, transcripts, store):
+    """A crash between the data-file move and the manifest commit leaves
+    unmanifested files in day dirs; read_tier must not see them."""
+    import os
+    import shutil
+
+    rolled = rollup_turns(transcripts, "1h")
+    store.write_tier(rolled, "1h")
+    n = store.read_tier(spark, "1h").count()
+    # simulate the crash: copy a committed file into the same day dir under
+    # an unmanifested name (exactly what a re-run after a mid-move crash
+    # would leave behind)
+    man = store.manifest("1h")
+    day = sorted(man["partitions"])[0]
+    day_dir = store.tier_path("1h", day)
+    src = os.path.join(day_dir, man["partitions"][day]["files"][0])
+    shutil.copy(src, os.path.join(day_dir, "snap99-orphan.parquet"))
+    assert store.read_tier(spark, "1h").count() == n  # orphan ignored
+
+
+def test_read_empty_tier_raises_clearly(spark, store):
+    with pytest.raises(ValueError, match="no committed partitions"):
+        store.read_tier(spark, "1h")
+
+
+def test_compact_is_side_by_side_and_size_targeted(spark, transcripts, store):
+    import os
+
+    rolled = rollup_turns(transcripts, "1h")
+    store.write_tier(rolled, "1h", files_per_partition=4)
+    man = store.manifest("1h")
+    day = sorted(man["partitions"])[0]
+    before = store.read_tier(spark, "1h").toPandas()
+    # tiny byte budget -> multiple output files (no coalesce(1) ceiling)
+    n = store.compact(spark, "1h", day, target_file_bytes=4096)
+    assert n > 0
+    man2 = store.manifest("1h")
+    new_files = man2["partitions"][day]["files"]
+    assert all(f.startswith("compact") for f in new_files)
+    assert len(new_files) >= 2  # size-targeted, not single-task
+    # old generation vacuumed
+    day_dir = store.tier_path("1h", day)
+    on_disk = {f for f in os.listdir(day_dir) if f.endswith(".parquet")}
+    assert on_disk == set(new_files)
+    after = store.read_tier(spark, "1h").toPandas()
+    cols = sorted(before.columns)
+    a = before[cols].sort_values(cols).reset_index(drop=True)
+    b = after[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)

@@ -115,3 +115,56 @@ def test_route_by_size_equals_plain(spark):
         ["conv_id", "turn_idx"],
     )
     pd.testing.assert_frame_equal(plain, routed, check_exact=True)
+
+
+def test_chunked_deltas_match_unchunked_around_nulls(spark):
+    """Regression: a row following a NULL-valued row mid-chunk must get a
+    NULL delta (like plain lag), not the previous chunk's tail value."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.series import turn_deltas
+    from insar_spark.operators.skew import chunked_turn_deltas
+
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    for i in range(20):
+        v = None if i in (4, 7, 10) else float(i * 10)
+        rows.append(("c1", i, base + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "text_len"])
+    )
+    plain = (
+        turn_deltas(df).toPandas().sort_values("turn_idx").reset_index(drop=True)
+    )
+    chunked = (
+        chunked_turn_deltas(df, chunk_size=5)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(plain["delta_v"], chunked["delta_v"])
+    pd.testing.assert_series_equal(plain["dt_sec"], chunked["dt_sec"])
+
+
+def test_ord_key_overflow_fails_loudly(spark):
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+
+    from insar_spark.operators.series import ord_key
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "turn_idx": [1 << 20],
+                "ts": [dt.datetime(2025, 1, 1)],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="ord_key overflow"):
+        df.select(ord_key()).collect()
