@@ -305,6 +305,37 @@ class TierStore:
             shutil.rmtree(self.tier_path(tier, d), ignore_errors=True)
         return expired
 
+    def drop_partitions(self, tier: str, days: list[str], op: str = "drop") -> list[str]:
+        """Manifest-first removal of specific day partitions (log truncation
+        after seal-compaction, or targeted deletes). The commit makes them
+        invisible, then only THEIR files are vacuumed (other generations in
+        the same directory are untouched)."""
+        man = self.manifest(tier)
+        hit = [d for d in days if d in man["partitions"]]
+        if not hit:
+            return []
+        vacuum: list[str] = []
+        for d in hit:
+            names = man["partitions"][d].get("files") or []
+            day_dir = self.tier_path(tier, d)
+            vacuum.extend(os.path.join(day_dir, n) for n in names)
+            if not names:  # pre-file-tracking: whole directory
+                vacuum.append(day_dir)
+            del man["partitions"][d]
+        man["snapshots"].append(
+            {"id": len(man["snapshots"]) + 1, "op": op, "days": sorted(hit)}
+        )
+        self._commit(tier, man)
+        for p in vacuum:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return sorted(hit)
+
     def compact(
         self,
         spark: SparkSession,

@@ -104,6 +104,7 @@ def stream_to_tierstore(
     store,
     checkpoint_dir: str,
     watermark: str = "10 minutes",
+    tier: str = "1m",
 ):
     """Continuous 1m-tier ingestion committed through TierStore.
 
@@ -122,7 +123,7 @@ def stream_to_tierstore(
         if batch_df.isEmpty():
             return
         store.write_tier_log(
-            batch_df, "1m", epoch=epoch_id,
+            batch_df, tier, epoch=epoch_id,
             run_params={"source": "stream"},
         )
 
@@ -132,6 +133,98 @@ def stream_to_tierstore(
         .foreachBatch(sink)
         .start()
     )
+
+
+def seal_and_compact(
+    spark: SparkSession,
+    store,
+    log_tier: str = "1m_log",
+    sealed_tier: str = "1m",
+    watermark: str = "10 minutes",
+    truncate_log: bool = True,
+) -> dict:
+    """Watermark-sealed day compaction: move finalized days from the
+    streaming epoch log into committed TierStore day partitions.
+
+    This completes the append-mode story (the batch analog of the
+    reference's check_dset overwrite semantics, insar/prepare.py:228-242):
+    the epoch log absorbs update-mode refinements while a day is still
+    inside the watermark; once the max observed window time passes
+    day_end + watermark no refinement can arrive, so the day's
+    latest-epoch-wins view is final and is committed through the ordinary
+    resume-mode ``write_tier`` path (skip-if-committed ⇒ the compactor is
+    idempotent and crash-restartable). ``truncate_log`` then drops the
+    sealed days from the log (manifest-first, vacuumed after commit).
+
+    Returns {"seal_before": day, "written_days": [...], "truncated": [...]}.
+    """
+    import datetime as dt
+
+    # parse "N minutes"/"N hours"/"N days" (the Spark watermark grammar
+    # subset this engine uses)
+    qty, unit = watermark.split()
+    delta = dt.timedelta(**{unit.rstrip("s") + "s": float(qty)})
+
+    try:
+        log = store.read_tier_log(spark, log_tier)
+    except ValueError:  # nothing committed to the log yet
+        return {"seal_before": None, "written_days": [], "truncated": []}
+    mx = log.agg(F.max("window_start").alias("m")).first()["m"]
+    if mx is None:
+        return {"seal_before": None, "written_days": [], "truncated": []}
+    seal_before = (mx - delta).date().isoformat()
+
+    final = log.drop("day")
+    res = store.write_tier(
+        final,
+        sealed_tier,
+        run_params={"source": "seal_compact", "log_tier": log_tier},
+        seal_before=seal_before,
+    )
+    truncated = []
+    if truncate_log:
+        sealed_days = sorted(
+            d for d in store.committed_days(sealed_tier) if d < seal_before
+        )
+        truncated = store.drop_partitions(log_tier, sealed_days, op="seal-truncate")
+    return {
+        "seal_before": seal_before,
+        "written_days": res["written_days"],
+        "truncated": truncated,
+    }
+
+
+def sealed_union_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "1m_log",
+    sealed_tier: str = "1m",
+) -> DataFrame:
+    """The continuous-aggregate read path: committed sealed days plus the
+    latest-epoch-wins view of the still-open log days (minus any sealed
+    days not yet truncated from the log — no double counting)."""
+    sealed_days = store.committed_days(sealed_tier)
+    try:
+        live = store.read_tier_log(spark, log_tier).drop("day")
+    except ValueError:
+        live = None
+    try:
+        sealed = store.read_tier(spark, sealed_tier).drop("day")
+    except ValueError:
+        sealed = None
+    if sealed is None and live is None:
+        raise ValueError(
+            f"neither '{sealed_tier}' nor '{log_tier}' has committed data"
+        )
+    if sealed is None:
+        return live
+    if live is None:
+        return sealed
+    if sealed_days:
+        live = live.filter(
+            ~F.date_format("window_start", "yyyy-MM-dd").isin(sorted(sealed_days))
+        )
+    return sealed.unionByName(live)
 
 
 def stateful_cumulative_reconstruction(turns: DataFrame) -> DataFrame:

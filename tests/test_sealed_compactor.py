@@ -1,0 +1,80 @@
+"""Watermark-sealed day compaction: stream -> epoch log -> committed tier."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from insar_spark.operators.rollup import rollup_turns
+from insar_spark.sources.catalog import TierStore
+from insar_spark.streaming.rollup_stream import (
+    seal_and_compact,
+    sealed_union_view,
+    stream_to_tierstore,
+)
+
+
+def _frame(df, cols=None):
+    pdf = df.toPandas()
+    cols = cols or sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_stream_seal_compact_equals_batch(spark, tmp_path, transcripts):
+    src = str(tmp_path / "src")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers"))
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="3650 days", tier="1m_log",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    res = seal_and_compact(
+        spark, store, log_tier="1m_log", sealed_tier="1m",
+        watermark="60 minutes",
+    )
+    assert res["written_days"], "some days must seal"
+    sb = res["seal_before"]
+
+    batch = rollup_turns(transcripts, "1m")
+    sealed_batch = batch.filter(
+        F.date_format("window_start", "yyyy-MM-dd") < sb
+    )
+    got = store.read_tier(spark, "1m").drop("day")
+    cols = sorted(sealed_batch.columns)
+    pd.testing.assert_frame_equal(
+        _frame(got, cols), _frame(sealed_batch, cols), check_exact=True
+    )
+
+    # sealed days were truncated from the log
+    assert set(res["truncated"]) == set(res["written_days"])
+    assert not (set(store.committed_days("1m_log")) & set(res["written_days"]))
+
+    # the union view equals the full batch rollup (no loss, no double count)
+    union = sealed_union_view(spark, store, "1m_log", "1m")
+    pd.testing.assert_frame_equal(
+        _frame(union, cols), _frame(batch, cols), check_exact=True
+    )
+
+
+def test_seal_compact_is_idempotent(spark, tmp_path, transcripts):
+    src = str(tmp_path / "src")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers"))
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="3650 days", tier="1m_log",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    first = seal_and_compact(spark, store, watermark="60 minutes")
+    assert first["written_days"]
+    n = store.read_tier(spark, "1m").count()
+    # crash-restart: running the compactor again writes nothing new
+    second = seal_and_compact(spark, store, watermark="60 minutes")
+    assert second["written_days"] == []
+    assert store.read_tier(spark, "1m").count() == n
