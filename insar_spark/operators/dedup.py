@@ -46,6 +46,55 @@ logger = logging.getLogger(__name__)
 DEFAULT_MAX_BUCKET = 64
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread an expression-heavy per-row stage across the cluster.
+
+    A small corpus parquet arrives as one input split, which would run the
+    whole signature computation in a single task; at 100-TB scale the file
+    source already yields thousands of splits and this is a no-op. A
+    round-robin repartition (no key) avoids any skew concern.
+    """
+    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _observe_cap(buckets: DataFrame, max_bucket: int, what: str) -> DataFrame:
+    """Attach a zero-cost cap-drop observation (no-silent-caps rule).
+
+    An eager count would re-run the whole upstream pipeline as a second
+    job (it doubled the minhash query's wall time); ``observe`` collects
+    the dropped mass during the caller's OWN action, and a daemon thread
+    logs it once that action completes.
+    """
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    over = F.when(F.size("ids") > max_bucket, F.size("ids") - max_bucket)
+    buckets = buckets.observe(
+        obs,
+        F.coalesce(F.sum(over), F.lit(0)).alias("dropped"),
+        F.count(over).alias("buckets"),
+    )
+
+    def wait() -> None:
+        try:
+            m = obs.get  # blocks until the first action on the plan
+            if m["dropped"]:
+                logger.warning(
+                    "%s: capped %d buckets at %d members (dropped %d members)",
+                    what, m["buckets"], max_bucket, m["dropped"],
+                )
+        except Exception:  # noqa: BLE001 — logging must never fail a job
+            pass
+
+    threading.Thread(target=wait, daemon=True).start()
+    return buckets
+
+
 def _pairs_from_buckets(
     grouped: DataFrame, max_bucket: int, what: str
 ) -> DataFrame:
@@ -53,21 +102,12 @@ def _pairs_from_buckets(
 
     Pair generation happens inside the array (no self-join). ``max_bucket``
     caps degenerate buckets after a deterministic in-bucket sort; the
-    dropped member count is logged per call (one tiny agg job) so capping
+    dropped member count is observed in the same pass and logged so capping
     is never silent.
     """
     buckets = grouped.filter(F.size("ids") > 1)
     if max_bucket:
-        over = buckets.filter(F.size("ids") > max_bucket)
-        dropped = over.agg(
-            F.coalesce(F.sum(F.size("ids") - max_bucket), F.lit(0)).alias("d"),
-            F.count(F.lit(1)).alias("b"),
-        ).first()
-        if dropped["d"]:
-            logger.warning(
-                "%s: capped %d buckets at %d members (dropped %d members)",
-                what, dropped["b"], max_bucket, dropped["d"],
-            )
+        buckets = _observe_cap(buckets, max_bucket, what)
         buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
     pairs = buckets.select(
         F.explode(
@@ -101,7 +141,7 @@ def minhash_signatures(
     """
     a, b = perm_params(num_hashes, seed)
     hashes = shingle_hashes_col(F.col(text_col), shingle_n)
-    return docs.select(
+    return ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         minhash_sig_col(hashes, a, b).alias("sig"),
     )
@@ -151,12 +191,26 @@ def jaccard_verify(
     Pure JVM: distinct shingle-string arrays joined to each side, then
     array_intersect/size arithmetic — no UDF, and byte-reproducible by the
     DuckDB oracle (list_intersect over the same shingles).
+
+    Shingles are computed only for docs that appear in a candidate pair
+    (semi-join first): the LSH stage already pruned the corpus, so the
+    expensive per-doc array build must not run over all N docs twice.
     """
-    d = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            shingles_col(tokens_col(F.col(text_col)), shingle_n)
-        ).alias("_sh"),
+    ids = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    d = (
+        docs.join(
+            F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                shingles_col(tokens_col(F.col(text_col)), shingle_n)
+            ).alias("_sh"),
+        )
     )
     joined = candidates.join(
         d.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a"
@@ -203,7 +257,7 @@ def simhash_signatures(
     """60-bit SimHash per document (token multiset, md5-60 token hash) —
     one JVM aggregate pass, reproducible by the DuckDB oracle."""
     token_hashes = F.transform(tokens_col(F.col(text_col)), h60_col)
-    return docs.select(
+    return ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), simhash_col(token_hashes).alias("simhash")
     )
 
@@ -246,16 +300,7 @@ def simhash_near_dups(
     )
     buckets = grouped.filter(F.size("ids") > 1)
     if max_bucket:
-        over = buckets.filter(F.size("ids") > max_bucket)
-        dropped = over.agg(
-            F.coalesce(F.sum(F.size("ids") - max_bucket), F.lit(0)).alias("d"),
-            F.count(F.lit(1)).alias("b"),
-        ).first()
-        if dropped["d"]:
-            logger.warning(
-                "simhash: capped %d buckets at %d members (dropped %d members)",
-                dropped["b"], max_bucket, dropped["d"],
-            )
+        buckets = _observe_cap(buckets, max_bucket, "simhash")
         buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket)).withColumn(
             "sh", F.slice("sh", 1, max_bucket)
         )

@@ -101,9 +101,10 @@ def winnowing_fingerprints(
     byte-reproducible by the DuckDB oracle.
     """
     from insar_spark.functions.shared_hash import shingle_hashes_col, winnow_col
+    from insar_spark.operators.dedup import ensure_parallelism
 
     kg = shingle_hashes_col(F.col(text_col), k)
-    return df.select(
+    return ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), winnow_col(kg, window).alias("fingerprints")
     )
 

@@ -205,3 +205,50 @@ def test_multimodal_plumbing(spark):
 
     frames = frame_sample(media, every_n=7).toPandas()
     assert (frames["frame_idx"] % 7 == 0).all()
+
+
+def test_decoder_contract_swap_in(spark, monkeypatch):
+    """The codec boundary contract: any decoder with the _decode_image
+    signature (payload bytes, width, height) -> uint8 (height, width) array
+    drops in without touching the Spark plumbing. Simulated here with a
+    tiny self-describing raw format (what PIL.Image.open would replace)."""
+    import numpy as np
+
+    from insar_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(17)
+
+    def encode_raw(img: np.ndarray) -> bytes:
+        h, w = img.shape
+        return h.to_bytes(2, "big") + w.to_bytes(2, "big") + img.tobytes()
+
+    def decode_raw(payload: bytes, width: int, height: int) -> np.ndarray:
+        h = int.from_bytes(payload[0:2], "big")
+        w = int.from_bytes(payload[2:4], "big")
+        assert (h, w) == (height, width)  # metadata agrees with the payload
+        return np.frombuffer(payload[4:], dtype=np.uint8).reshape(h, w)
+
+    imgs = {i: rng.integers(0, 256, (12, 9), dtype=np.uint8) for i in range(6)}
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": encode_raw(img),
+                    "meta": {"width": 9, "height": 12, "sample_rate": 0,
+                             "n_frames": 1},
+                }
+                for i, img in imgs.items()
+            ]
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    monkeypatch.setattr(mm, "_decode_image", decode_raw)
+    feats = mm.extract_features(media).toPandas().set_index("media_id")
+    for i, img in imgs.items():
+        assert feats.loc[i, "feat_mean"] == pytest.approx(img.mean())
+        assert feats.loc[i, "feat_std"] == pytest.approx(img.std())
+        assert feats.loc[i, "n_bytes"] == len(encode_raw(img))
