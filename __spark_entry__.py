@@ -795,13 +795,108 @@ FROM t
 
 
 def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: robust lowess per series (UDF path — no SQL oracle; covered by
-    numpy-kernel parity tests in tests/test_smoothing.py)."""
+    """W5: ROBUST lowess per series (tricube distance weights x bisquare
+    robustness, it=2). The oracle unrolls all three weighted fits plus the
+    median/bisquare re-weighting between them as generated SQL CTEs — a
+    full independent re-execution of the Cleveland algorithm in DuckDB."""
     from insar_spark.operators.smoothing import lowess_smooth
 
     t = events_series(spark, sf_dir)
     return lowess_smooth(t, "v", min_span_days=14.0, it=2).select(
         "conv_id", "ts", _r("smooth").alias("smooth")
+    )
+
+
+def _sql_w5_robust(it: int = 2, half: float = 7.0) -> str:
+    """Generated oracle for robust lowess: the window search and tricube
+    distance weights are computed once (iteration-invariant), then it+1
+    weighted fits are unrolled, each consuming the bisquare delta weights
+    of the previous round (delta0 = 1). Matches lowess_kernel.lowess_xy
+    semantics including the dead-neighborhood fallback (all robust weights
+    zero -> distance-only fit) and the degenerate zero-median branch."""
+    base = f"""
+, tt AS (
+  SELECT conv_id, ts, v, epoch_us(ts) / 1000000.0 / 86400.0 AS x,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM t
+), rng AS (
+  SELECT a.conv_id, a.rn AS i, b.rn AS j
+  FROM tt a JOIN tt b ON a.conv_id = b.conv_id
+   AND b.x >= a.x - {half} AND b.x <= a.x + {half}
+), cnt AS (
+  SELECT conv_id, i, count(*) AS c FROM rng GROUP BY conv_id, i
+), ext AS (
+  SELECT conv_id, i, j FROM rng
+  UNION
+  SELECT conv_id, i, CASE WHEN i > 1 THEN i - 1 ELSE i + 1 END
+  FROM cnt WHERE c < 2
+), w0 AS (
+  SELECT e.conv_id, e.i, e.j, a.x AS xi, a.ts AS tsi, a.v AS vi,
+         b.x AS xj, b.v AS vj, abs(b.x - a.x) AS d
+  FROM ext e
+  JOIN tt a ON a.conv_id = e.conv_id AND a.rn = e.i
+  JOIN tt b ON b.conv_id = e.conv_id AND b.rn = e.j
+), wd AS (
+  SELECT *, max(d) OVER (PARTITION BY conv_id, i) AS dmax0 FROM w0
+), wt AS (
+  SELECT conv_id, i, j, xi, tsi, vi, xj, vj,
+         pow(1.0 - pow(least(d / (CASE WHEN dmax0 = 0 THEN 1.0 ELSE dmax0 END),
+                             1.0), 3), 3) AS w
+  FROM wd
+), delta0 AS (SELECT conv_id, rn AS j, 1.0 AS delta FROM tt)"""
+    its = []
+    for t in range(it + 1):
+        its.append(f"""
+wj{t} AS (
+  SELECT w.*, d.delta, w.w * d.delta AS wd
+  FROM wt w JOIN delta{t} d ON w.conv_id = d.conv_id AND w.j = d.j
+), f1_{t} AS (
+  SELECT conv_id, i, any_value(xi) AS xi, any_value(tsi) AS tsi,
+         any_value(vi) AS vi,
+         sum(wd) <= 0 AS dead,
+         CASE WHEN sum(wd) <= 0 THEN sum(w * xj) / sum(w)
+              ELSE sum(wd * xj) / sum(wd) END AS xm,
+         CASE WHEN sum(wd) <= 0 THEN sum(w * vj) / sum(w)
+              ELSE sum(wd * vj) / sum(wd) END AS ym
+  FROM wj{t} GROUP BY conv_id, i
+), f2_{t} AS (
+  SELECT w.conv_id, w.i, f.xi, f.tsi, f.vi, f.xm, f.ym,
+         sum((CASE WHEN f.dead THEN w.w ELSE w.wd END)
+             * (w.xj - f.xm) * (w.xj - f.xm)) AS sxx,
+         sum((CASE WHEN f.dead THEN w.w ELSE w.wd END)
+             * (w.xj - f.xm) * (w.vj - f.ym)) AS sxy
+  FROM wj{t} w JOIN f1_{t} f ON w.conv_id = f.conv_id AND w.i = f.i
+  GROUP BY w.conv_id, w.i, f.xi, f.tsi, f.vi, f.xm, f.ym
+), out{t} AS (
+  SELECT conv_id, i, xi, tsi, vi,
+         ym + (CASE WHEN sxx <= 1e-12 * greatest(1.0, xm * xm) THEN 0.0
+                    ELSE sxy / sxx END) * (xi - xm) AS smooth
+  FROM f2_{t}
+)""")
+        if t < it:
+            its.append(f"""
+med{t} AS (
+  SELECT conv_id, median(abs(vi - smooth)) AS s FROM out{t} GROUP BY conv_id
+), delta{t + 1} AS (
+  SELECT o.conv_id, o.i AS j,
+    CASE WHEN m.s <= 0 THEN
+           CASE WHEN abs(o.vi - o.smooth)
+                     <= 1e-12 * greatest(1.0, abs(o.vi)) THEN 1.0 ELSE 0.0 END
+         ELSE (1.0 - least(greatest((o.vi - o.smooth) / (6.0 * m.s), -1.0), 1.0)
+                     * least(greatest((o.vi - o.smooth) / (6.0 * m.s), -1.0), 1.0))
+              * (1.0 - least(greatest((o.vi - o.smooth) / (6.0 * m.s), -1.0), 1.0)
+                     * least(greatest((o.vi - o.smooth) / (6.0 * m.s), -1.0), 1.0))
+    END AS delta
+  FROM out{t} o JOIN med{t} m ON o.conv_id = m.conv_id
+)""")
+    return (
+        SERIES_CTE
+        + base
+        + ","
+        + ",".join(its)
+        + f"""
+SELECT conv_id, tsi AS ts, round(smooth, 6) AS smooth FROM out{it}
+"""
     )
 
 
@@ -898,14 +993,84 @@ GROUP BY a.conv_id, a.turn_idx
 
 
 def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7 spline variant (UDF path — no SQL oracle; covered by
-    tests/test_gapfill.py kernel parity)."""
+    """W7 spline variant: natural-cubic-spline resample to a 1-day grid.
+    The oracle re-runs the ENTIRE spline independently in DuckDB — the
+    Thomas tridiagonal solve as list_reduce recurrences (forward cp/dp,
+    backward M) and the piecewise-cubic evaluation — value-hash checked
+    at 6dp (sequential recurrences are order-identical in both engines)."""
     from insar_spark.operators.gapfill import resample_spline
 
     t = events_series(spark, sf_dir)
-    return resample_spline(t, interval_sec=86_400).select(
+    return resample_spline(t, interval_sec=86_400, ord_col="ord").select(
         "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
     )
+
+
+_SQL_W7_SPLINE = (
+    SERIES_CTE
+    + """
+, obs AS (
+  SELECT conv_id, date_trunc('day', ts) AS grid_ts, arg_max(v, ord) AS v
+  FROM t GROUP BY 1, 2
+), ser AS (
+  SELECT conv_id,
+         list(epoch_us(grid_ts) ORDER BY grid_ts) AS xi,
+         list(v ORDER BY grid_ts) AS y,
+         count(*)::INT AS n
+  FROM obs GROUP BY conv_id
+), xs AS (SELECT *, list_transform(xi, _v -> _v::DOUBLE) AS x FROM ser),
+hh AS (SELECT *, list_transform(range(1, n), i -> x[i+1] - x[i]) AS h FROM xs),
+abc AS (
+  SELECT *,
+    list_transform(range(1, n-1), k -> h[k] / (h[k] + h[k+1])) AS a,
+    list_transform(range(1, n-1), k -> h[k+1] / (h[k] + h[k+1])) AS c,
+    list_transform(range(1, n-1), k ->
+      6.0 * ((y[k+2]-y[k+1])/h[k+1] - (y[k+1]-y[k])/h[k]) / (h[k] + h[k+1])) AS d
+  FROM hh
+),
+fwd AS (  -- Thomas forward sweep: cp/dp recurrence as a list fold
+  SELECT *, CASE WHEN n < 3 THEN NULL ELSE list_reduce(
+      list_prepend([{'cp': c[1] / 2.0, 'dp': d[1] / 2.0, 'k': NULL::INT}],
+        list_transform(range(2, n-1), k ->
+          [{'cp': NULL::DOUBLE, 'dp': NULL::DOUBLE, 'k': k::INT}])),
+      (acc, e) -> list_append(acc, {
+        'cp': c[e[1].k] / (2.0 - a[e[1].k] * acc[len(acc)].cp),
+        'dp': (d[e[1].k] - a[e[1].k] * acc[len(acc)].dp)
+              / (2.0 - a[e[1].k] * acc[len(acc)].cp),
+        'k': NULL::INT})) END AS f
+  FROM abc
+),
+bwd AS (  -- back-substitution, prepending so M comes out in order
+  SELECT *, CASE WHEN n < 3 THEN NULL
+    WHEN n = 3 THEN [f[1].dp]
+    ELSE list_transform(list_reduce(
+      list_prepend([{'m': f[n-2].dp, 'k': NULL::INT}],
+        list_transform(range(2, n-1), j -> [{'m': NULL::DOUBLE, 'k': (n-1-j)::INT}])),
+      (acc, e) -> list_prepend(
+        {'m': f[e[1].k].dp - f[e[1].k].cp * acc[1].m, 'k': NULL::INT}, acc)
+    ), _s -> _s.m) END AS Mint
+  FROM fwd
+),
+mm AS (SELECT *, list_concat([0.0], list_concat(Mint, [0.0])) AS M FROM bwd),
+g AS (SELECT *, unnest(generate_series(xi[1], xi[n], 86400000000)) AS q FROM mm),
+ev AS (
+  SELECT conv_id, q, x, xi, y, n, M,
+    greatest(1, least(n - 1, len(list_filter(xi, e -> e <= q)))) AS i,
+    q::DOUBLE AS qd
+  FROM g
+)
+SELECT conv_id, make_timestamp(q) AS grid_ts,
+  round(CASE WHEN n = 1 THEN y[1]
+    WHEN n = 2 THEN y[1] + (qd - x[1]) * ((y[2] - y[1]) / (x[2] - x[1]))
+    ELSE M[i]*((x[i+1]-qd)*(x[i+1]-qd)*(x[i+1]-qd))/(6*(x[i+1]-x[i]))
+       + M[i+1]*((qd-x[i])*(qd-x[i])*(qd-x[i]))/(6*(x[i+1]-x[i]))
+       + (y[i]/(x[i+1]-x[i]) - M[i]*(x[i+1]-x[i])/6)*(x[i+1]-qd)
+       + (y[i+1]/(x[i+1]-x[i]) - M[i+1]*(x[i+1]-x[i])/6)*(qd-x[i]) END, 6)
+    AS v_filled,
+  list_contains(xi, q) AS is_observed
+FROM ev
+"""
+)
 
 
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,8 +1955,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
         "w5_lowess_1pass": _SQL_W5_1PASS,
+        "w5_lowess_smooth": _sql_w5_robust(),
         "w6_temporal_filter": _SQL_W6,
-        # Non-SQL-expressible UDF paths (rows-only driver check; exactness
-        # proven by kernel-parity / planted-fixture pytest oracles):
-        # w5_lowess_smooth (robust iterations), w7_gapfill_spline
+        "w7_gapfill_spline": _SQL_W7_SPLINE,
+        # Every registered query has an oracle: the UDF paths (robust
+        # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
+        # are re-executed independently in DuckDB via unrolled recurrence
+        # CTEs / list folds, not just row-counted.
     }

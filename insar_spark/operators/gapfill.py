@@ -190,13 +190,16 @@ def resample_spline(
     ts_col: str = "ts",
     value_col: str = "v",
     interval_sec: int = 60,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Regular-grid resample with natural-cubic-spline interpolation.
 
     Whole-series grouped-map UDF (one Arrow batch per series, sorted by
-    grid time for fixed accumulation order).
+    grid time for fixed accumulation order). ``ord_col`` makes the
+    last-wins pick per grid cell deterministic under timestamp ties
+    (same contract as resample_linear).
     """
-    obs = observed_per_window(df, key, ts_col, value_col, interval_sec)
+    obs = observed_per_window(df, key, ts_col, value_col, interval_sec, ord_col)
     schema = f"{key} string, grid_ts timestamp, v_filled double, is_observed boolean"
     step = interval_sec * 1_000_000
 
