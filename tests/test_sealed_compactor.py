@@ -78,3 +78,22 @@ def test_seal_compact_is_idempotent(spark, tmp_path, transcripts):
     second = seal_and_compact(spark, store, watermark="60 minutes")
     assert second["written_days"] == []
     assert store.read_tier(spark, "1m").count() == n
+
+
+def test_stream_job_cli_drain_and_restart(spark, tmp_path):
+    """jobs/stream_job.py end to end: drain -> seal -> metrics; a second
+    invocation on the same checkpoint+store writes nothing new."""
+    from jobs.stream_job import main as job_main
+
+    store_path = str(tmp_path / "tiers_cli")
+    args = [
+        "--input", "synth:120", "--store", store_path,
+        "--checkpoint", str(tmp_path / "ckpt_cli"),
+        "--watermark", "60 minutes", "--master", "local[4]", "--drain",
+    ]
+    m1 = job_main(args)
+    assert m1["sealed_days"] > 0
+    assert m1["truncated_log_days"] == m1["sealed_days"]
+    m2 = job_main(args)
+    assert m2["sealed_days"] == 0  # resume: nothing re-sealed
+    assert m2["committed_1m_days"] == m1["committed_1m_days"]
