@@ -1320,13 +1320,14 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sim_ivf(
+def _sql_ivf_ctes(
     n_centroids: int = 8, iters: int = 2, sample_rows: int = 512,
-    n_probe: int = 3, k: int = 20, dim: int = 64,
-) -> str:
+    dim: int = 64,
+) -> tuple[str, str, str]:
     """Unrolled Lloyd's-in-SQL: c{t} = centroids after t iterations.
     Assignment = arg_min over squared L2; empty cells keep the previous
-    centroid (coalesce in the full outer join)."""
+    centroid (coalesce in the left join). Returns (WITH-body, final
+    centroid CTE name, the shared distance expression)."""
     d2 = (
         "list_sum(list_transform(range(1, {dim} + 1), "
         "i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])))"
@@ -1350,9 +1351,16 @@ def _sql_sim_ivf(
             f"c{t + 1} AS (SELECT p.cid, coalesce(m.c, p.c) AS c "
             f"FROM c{t} p LEFT JOIN m{t} m ON p.cid = m.cid)"
         )
-    final = f"c{iters}"
+    return ",\n".join(ctes), f"c{iters}", d2
+
+
+def _sql_sim_ivf(
+    n_centroids: int = 8, iters: int = 2, sample_rows: int = 512,
+    n_probe: int = 3, k: int = 20, dim: int = 64,
+) -> str:
+    body, final, d2 = _sql_ivf_ctes(n_centroids, iters, sample_rows, dim)
     return (
-        "WITH " + ",\n".join(ctes) + f""",
+        "WITH " + body + f""",
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 pr AS (
   SELECT c.cid FROM {final} c CROSS JOIN q
@@ -1419,6 +1427,118 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.95
 """
 
 
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: email/phone redaction with hit counts. The
+    corpus has no PII, so deterministic PII is injected first (every third
+    doc gets an email + a phone built from doc_id arithmetic) — both
+    engines synthesize and redact with byte-identical RE2-safe rules."""
+    from insar_spark.operators.textstats import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@mail.example.com or +1 555 123 "),
+                F.lpad((did % 10_000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id",
+        F.md5(F.encode("text_redacted", "utf-8")).alias("redacted_md5"),
+        "n_emails",
+        "n_phones",
+    )
+
+
+def _sql_pii_redact() -> str:
+    from insar_spark.operators.textstats import PII_EMAIL, PII_PHONE
+
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' reach user' || doc_id::VARCHAR
+           || '@mail.example.com or +1 555 123 '
+           || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    ELSE text END AS text
+  FROM documents
+), r1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+    regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM inj
+)
+SELECT doc_id,
+  md5(regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+  n_emails::BIGINT AS n_emails,
+  len(regexp_extract_all(t1, '{PII_PHONE}'))::BIGINT AS n_phones
+FROM r1
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any winnowing
+    fingerprint with a probe/eval set (doc_id % 20 == 5, 25 docs). The probe
+    fingerprint set is broadcast (tiny) against the exploded corpus
+    fingerprints — the O(corpus) shape; hits include the corpus's planted
+    near-dups of probe docs."""
+    from insar_spark.operators.textstats import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 20 == 5)
+    corpus = docs.filter(F.col("doc_id") % 20 != 5)
+    return decontaminate(corpus, probes)
+
+
+def _sql_decontaminate() -> str:
+    from insar_spark.functions.shared_hash import sql_shingle_hashes, sql_winnow
+
+    fps = sql_winnow(sql_shingle_hashes("text", 5), 4)
+    return f"""
+WITH f AS (SELECT doc_id, {fps} AS fps FROM documents),
+corpus AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE doc_id % 20 != 5),
+probe AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 20 = 5)
+SELECT c.doc_id, count(*)::BIGINT AS n_hits
+FROM corpus c JOIN probe p ON c.fp = p.fp
+GROUP BY c.doc_id
+"""
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering: k-means (deterministic Lloyd, first-8 init,
+    2 iterations) cell assignment for every embedding — the training-data
+    curation primitive behind IVF, topic bucketing and cluster-balanced
+    sampling. Oracle: the training unrolled in SQL, then the same arg-min
+    assignment."""
+    from insar_spark.operators.similarity import ivf_assign, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    C = train_centroids(
+        emb, n_centroids=8, iters=2, sample_rows=512, init="first"
+    )
+    return ivf_assign(emb, C).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+def _sql_embedding_kmeans() -> str:
+    body, final, d2 = _sql_ivf_ctes()
+    return (
+        "WITH " + body + f""",
+asg AS (SELECT s.vec_id, arg_min(c.cid, {d2}) AS cell
+        FROM e s CROSS JOIN {final} c GROUP BY s.vec_id, s.v)
+SELECT vec_id, cell::INTEGER AS cell FROM asg
+"""
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "embedding_kmeans": q_embedding_kmeans,
         "j6_asof_join": q_j6_asof_join,
         "c7_rewrap_phase": q_c7_rewrap_phase,
         "c8_closure_phase": q_c8_closure_phase,
@@ -1954,6 +2077,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "sim_lsh_topk": _sql_sim_lsh(),
         "sim_ivf_topk": _sql_sim_ivf(),
+        "pii_redact": _sql_pii_redact(),
+        "decontaminate": _sql_decontaminate(),
+        "embedding_kmeans": _sql_embedding_kmeans(),
         "w5_lowess_1pass": _SQL_W5_1PASS,
         "w5_lowess_smooth": _sql_w5_robust(),
         "w6_temporal_filter": _SQL_W6,

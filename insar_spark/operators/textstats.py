@@ -109,6 +109,61 @@ def winnowing_fingerprints(
     )
 
 
+# RE2-safe patterns (identical semantics in Java regex and DuckDB/RE2)
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data hygiene: replace email addresses and phone-shaped
+    number runs with typed placeholder tokens, and count what was hit.
+    Pure JVM regexp (patterns chosen RE2-safe so the DuckDB oracle applies
+    the byte-identical rules)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(after_email, PII_PHONE, "<PHONE>").alias("text_redacted"),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    winnowing fingerprint with a (small) probe/eval set.
+
+    Scale shape: the probe set's fingerprints are tiny → broadcast
+    left-semi join against the exploded corpus fingerprints; the corpus is
+    scanned once, no self-join, no shuffle of the corpus beyond the
+    explode. Returns (id, n_hits) for contaminated docs only.
+    """
+    corpus_fp = winnowing_fingerprints(docs, text_col, id_col, k, window).select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    probe_fp = (
+        winnowing_fingerprints(probes, text_col, id_col, k, window)
+        .select(F.explode("fingerprints").alias("fp"))
+        .distinct()
+    )
+    return (
+        corpus_fp.join(F.broadcast(probe_fp), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
 def fingerprint_candidates(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Pairs of docs sharing >= 1 winnowing fingerprint."""
     x = fps.select(id_col, F.explode("fingerprints").alias("fp"))

@@ -252,3 +252,37 @@ def test_decoder_contract_swap_in(spark, monkeypatch):
         assert feats.loc[i, "feat_mean"] == pytest.approx(img.mean())
         assert feats.loc[i, "feat_std"] == pytest.approx(img.std())
         assert feats.loc[i, "n_bytes"] == len(encode_raw(img))
+
+
+def test_redact_pii(spark):
+    from insar_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "write to alice.smith@corp.example.org for details"),
+        (1, "call +1 555 123 4567 now or 555 987 6543 later"),
+        (2, "no sensitive content here"),
+        (3, "bob@x.io and carol@y.co.uk both replied"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = redact_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 1
+    assert "<EMAIL>" in out.loc[0, "text_redacted"]
+    assert "alice" not in out.loc[0, "text_redacted"].split("@")[0][-5:]
+    assert out.loc[1, "n_phones"] == 2
+    assert out.loc[1, "text_redacted"].count("<PHONE>") == 2
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[2, "text_redacted"] == rows[2][1]
+    assert out.loc[3, "n_emails"] == 2
+
+
+def test_decontaminate_flags_probe_overlap(spark, docs_with_dups):
+    from insar_spark.operators.textstats import decontaminate
+
+    probes = docs_with_dups.filter("doc_id = 0")  # the duplicated base doc
+    corpus = docs_with_dups.filter("doc_id != 0")
+    hits = decontaminate(corpus, probes).toPandas()
+    flagged = set(hits.doc_id)
+    assert 1 in flagged  # exact dup of the probe
+    assert 5 in flagged  # near dup (shared prefix fingerprints)
+    assert 3 not in flagged and 6 not in flagged  # unrelated docs clean
+    assert (hits.n_hits >= 1).all()
