@@ -1429,6 +1429,58 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.95
 
 
 
+def q_w1_deltas_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 via the mega-series skew path: chunked windows (bounded task
+    size) with boundary repair through a tiny tail join
+    (operators/skew.py). Shares w1's plain-lag oracle — the chunk-repair
+    semantics are value-hash-proven against an independent engine, not
+    just against our own unchunked operator."""
+    from insar_spark.operators.skew import chunked_turn_deltas
+
+    t = events_series(spark, sf_dir)
+    d = chunked_turn_deltas(t, value_col="v", chunk_size=16)
+    return d.select(
+        "conv_id", "turn_idx", _r("delta_v").alias("delta_v"),
+        _r("dt_sec").alias("dt_sec"),
+    )
+
+
+def q_salted_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-shaped rollup through the explicit salt pre-phase
+    (operators/skew.py): (conv, window, salt) partial agg then finalize —
+    the plan that splits a single hot (conv, minute) cell across n_salt
+    reducers. Oracle is the direct one-phase SQL: decomposable stats make
+    the two-phase result exactly equal."""
+    from insar_spark.operators.skew import salted_two_phase_rollup
+
+    t = events_series(spark, sf_dir).withColumn(
+        "tool", F.when(F.col("event_type") == "purchase", F.lit("t"))
+    )
+    out = salted_two_phase_rollup(t, "minute", n_salt=16, value_col="v")
+    return out.select(
+        "conv_id",
+        "window_start",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_tool_calls").cast("long").alias("n_tool_calls"),
+        _r("sum_text_len").alias("sum_v"),
+        _r("min_text_len").alias("min_v"),
+        _r("max_text_len").alias("max_v"),
+    )
+
+
+_SQL_SALTED_ROLLUP = (
+    SERIES_CTE
+    + """
+SELECT conv_id, date_trunc('minute', ts) AS window_start,
+       count(*) AS n_turns,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_tool_calls,
+       round(sum(v), 6) AS sum_v, round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM t GROUP BY 1, 2
+"""
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene: email/phone redaction with hit counts. The
     corpus has no PII, so deterministic PII is injected first (every third
@@ -2003,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "embedding_kmeans": q_embedding_kmeans,
+        "w1_deltas_chunked": q_w1_deltas_chunked,
+        "salted_rollup_1m": q_salted_rollup_1m,
         "j6_asof_join": q_j6_asof_join,
         "c7_rewrap_phase": q_c7_rewrap_phase,
         "c8_closure_phase": q_c8_closure_phase,
@@ -2080,6 +2134,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "decontaminate": _sql_decontaminate(),
         "embedding_kmeans": _sql_embedding_kmeans(),
+        "w1_deltas_chunked": _SQL_W1,  # plain-lag oracle for the skew path
+        "salted_rollup_1m": _SQL_SALTED_ROLLUP,
         "w5_lowess_1pass": _SQL_W5_1PASS,
         "w5_lowess_smooth": _sql_w5_robust(),
         "w6_temporal_filter": _SQL_W6,

@@ -28,18 +28,32 @@ from insar_spark.operators.series import KEY, turn_deltas
 
 
 def salted_two_phase_rollup(
-    df: DataFrame, tier_unit: str = "minute", n_salt: int = 16
+    df: DataFrame,
+    tier_unit: str = "minute",
+    n_salt: int = 16,
+    value_col: str | None = None,
+    tool_col: str = "tool",
 ) -> DataFrame:
-    """Rollup with an explicit salt pre-phase on the hot reduce key."""
+    """Rollup with an explicit salt pre-phase on the hot reduce key.
+
+    ``value_col``/``tool_col`` generalize beyond the transcript shape
+    (default: text length / tool) so the same salted plan runs over any
+    per-turn metric column.
+    """
     win = F.date_trunc(tier_unit, F.col("ts")).alias("window_start")
     salt = F.pmod(F.col("turn_idx"), F.lit(n_salt)).alias("salt")
+    val = (
+        F.length("text").cast("double")
+        if value_col is None
+        else F.col(value_col).cast("double")
+    )
     partial = (
         df.select(
             KEY,
             win,
             salt,
-            F.length("text").cast("double").alias("text_len"),
-            F.col("tool"),
+            val.alias("text_len"),
+            F.col(tool_col).alias("tool"),
         )
         .groupBy(KEY, "window_start", "salt")
         .agg(
