@@ -1593,6 +1593,45 @@ SELECT vec_id, cell::INTEGER AS cell FROM asg
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: deterministic per-stratum subsampling. Strata
+    = (lang, source); keep-rate differs per stratum (uniform hash of
+    doc_id thresholded by a per-stratum rate) — the reproducible,
+    shuffle-free sampling primitive behind data-mixture rebalancing at
+    100 TB (a filter on a hash, no randomness, no state). Fully
+    SQL-mirrorable because the hash is the shared md5-60."""
+    from insar_spark.functions.shared_hash import h60_col
+
+    docs = load(spark, sf_dir, "documents")
+    # per-stratum rate: up-weight rarer sources, thin 'en'
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.3))
+        .when(F.col("source") == "src0", F.lit(0.8))
+        .otherwise(F.lit(0.5))
+    )
+    u = (h60_col(F.col("doc_id").cast("string")) % 1_000_000) / 1_000_000.0
+    return (
+        docs.filter(u < rate)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("doc_id::VARCHAR")
+    return f"""
+WITH k AS (
+  SELECT lang, source FROM documents
+  WHERE ({h} % 1000000) / 1000000.0 <
+        CASE WHEN lang = 'en' THEN 0.3
+             WHEN source = 'src0' THEN 0.8 ELSE 0.5 END
+)
+SELECT lang, source, count(*)::BIGINT AS n_kept FROM k GROUP BY lang, source
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing over real binary payloads: media rows are
     derived deterministically from the documents table (payload = utf-8
@@ -2057,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "w1_deltas_chunked": q_w1_deltas_chunked,
         "salted_rollup_1m": q_salted_rollup_1m,
+        "stratified_sample": q_stratified_sample,
         "j6_asof_join": q_j6_asof_join,
         "c7_rewrap_phase": q_c7_rewrap_phase,
         "c8_closure_phase": q_c8_closure_phase,
@@ -2136,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _sql_embedding_kmeans(),
         "w1_deltas_chunked": _SQL_W1,  # plain-lag oracle for the skew path
         "salted_rollup_1m": _SQL_SALTED_ROLLUP,
+        "stratified_sample": _sql_stratified_sample(),
         "w5_lowess_1pass": _SQL_W5_1PASS,
         "w5_lowess_smooth": _sql_w5_robust(),
         "w6_temporal_filter": _SQL_W6,
