@@ -2,13 +2,17 @@
 
 ``entry(spark)`` runs the flagship tier-rollup pipeline at sf0.001.
 ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL. The
-SQL-checkable operators run over a deterministic transcript-shaped view of
-the ``events`` table (see insar_spark.sources.events); UDF-based operators
-(SBAS solve, spline gap-fill, Gorilla round-trip) are covered by pytest
-numpy oracles instead and appear here without oracle SQL where noted.
+SURVEY.md §2 (plus the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for EVERY query — the UDF paths (SBAS solves,
+robust lowess, natural-cubic spline, Gorilla round-trip, ANN including
+IVF training) are re-executed independently in DuckDB via closed forms,
+unrolled recurrence CTEs, or list folds, so the driver's value-hash gate
+covers the whole surface. Queries run over a deterministic
+transcript-shaped view of the ``events`` table
+(insar_spark.sources.events) and the documents/embeddings corpora.
 
-Float columns are rounded to 6 decimals on BOTH sides so the driver's
+Float columns are rounded to 6 decimals on BOTH sides (4 for cosine
+outputs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 """
