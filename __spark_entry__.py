@@ -1169,9 +1169,11 @@ SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.5
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups at Hamming <= 3 over 60-bit signatures. The 4x15-bit
-    chunk banding is pigeonhole-COMPLETE for Hamming <= 3, so the all-pairs
-    DuckDB oracle (recomputing the signature independently from the shared
-    md5-60 token hash) matches by construction, not by luck."""
+    chunk banding is pigeonhole-COMPLETE for Hamming <= 3, and over-cap
+    buckets re-band by sub-chunks of the remaining bits (pigeonhole again),
+    so the all-pairs DuckDB oracle (recomputing the signature independently
+    from the shared md5-60 token hash) matches by construction — verified
+    at sf0.001/0.01/0.1 including a bucket past the cap at sf0.1."""
     from insar_spark.operators.dedup import simhash_near_dups, simhash_signatures
 
     docs = load(spark, sf_dir, "documents")

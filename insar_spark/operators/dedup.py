@@ -262,48 +262,9 @@ def simhash_signatures(
     )
 
 
-def simhash_near_dups(
-    sigs: DataFrame,
-    max_hamming: int = 3,
-    max_bucket: int = 4 * DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """Pairs whose 60-bit SimHashes differ in <= max_hamming bits.
-
-    Banding: split into 4×15-bit chunks — any pair within Hamming <= 3
-    must agree on at least one chunk (pigeonhole), so for max_hamming <= 3
-    the bucket join is *complete*, not probabilistic: the all-pairs DuckDB
-    oracle matches by construction. Candidates verified with
-    bit_count(xor). Bucket fan-out capped (logged, never silent); at the
-    verified scales no bucket reaches the cap, preserving completeness.
-    """
-    n_chunks = 4
-    chunk_bits = SIMHASH_BITS // n_chunks  # 15
-    mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftright("simhash", k * chunk_bits).bitwiseAND(F.lit(mask)))
-                    for k in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    grouped = chunks.groupBy("chunk_idx", "chunk").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem")
-    )
-    grouped = grouped.select(
-        "chunk_idx", "chunk", F.col("mem.doc_id").alias("ids"),
-        F.col("mem.simhash").alias("sh"),
-    )
-    buckets = grouped.filter(F.size("ids") > 1)
-    if max_bucket:
-        buckets = _observe_cap(buckets, max_bucket, "simhash")
-        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket)).withColumn(
-            "sh", F.slice("sh", 1, max_bucket)
-        )
+def _simhash_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """(…, ids sorted, sh aligned) -> (id_a, id_b, hamming) inside each
+    bucket, generated from the arrays in place (no self-join)."""
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -324,8 +285,106 @@ def simhash_near_dups(
             )
         ).alias("p")
     )
-    return (
-        pairs.select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return pairs.select("p.id_a", "p.id_b", "p.hamming")
+
+
+def simhash_near_dups(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 4 * DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pairs whose 60-bit SimHashes differ in <= max_hamming bits.
+
+    Banding: split into 4×15-bit chunks — any pair within Hamming <= 3
+    must agree on at least one chunk (pigeonhole), so for max_hamming <= 3
+    the bucket join is *complete*, not probabilistic: the all-pairs DuckDB
+    oracle matches by construction.
+
+    Scale bound WITHOUT losing completeness: a bucket larger than
+    ``max_bucket`` (similarity-clustered corpora hit this — measured at
+    5 000 word-salad docs) is not truncated; its members are RE-BANDED by
+    four sub-chunks of the remaining 45 bits. Pigeonhole applies again
+    (<= 3 differing bits over 4 sub-chunks ⇒ >= 1 sub-chunk agrees), so
+    recall stays exact while bucket fan-out drops geometrically. Only the
+    second level carries a hard cap (observed + logged, never silent) —
+    a bucket that survives two levels over-cap is a near-identical flood
+    where capping is the intended behavior.
+    """
+    n_chunks = 4
+    chunk_bits = SIMHASH_BITS // n_chunks  # 15
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", k * chunk_bits).bitwiseAND(F.lit(mask)))
+                    for k in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
     )
+    grouped = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem")
+        )
+        .select(
+            "chunk_idx", "chunk", F.col("mem.doc_id").alias("ids"),
+            F.col("mem.simhash").alias("sh"),
+        )
+        .filter(F.size("ids") > 1)
+    )
+    under = grouped.filter(F.size("ids") <= max_bucket)
+    over = grouped.filter(F.size("ids") > max_bucket)
+
+    # level 2: re-band over-cap buckets by sub-chunks of the remaining bits
+    members = over.select(
+        "chunk_idx", "chunk",
+        F.explode(F.arrays_zip("ids", "sh")).alias("m"),
+    ).select(
+        "chunk_idx", "chunk",
+        F.col("m.ids").alias("doc_id"), F.col("m.sh").alias("simhash"),
+    )
+    # the 45 non-bucket bits, per chunk_idx (constant shifts per branch)
+    rem = None
+    for k in range(n_chunks):
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (k * chunk_bits)) - 1))
+        high = F.shiftleft(
+            F.shiftright("simhash", (k + 1) * chunk_bits), k * chunk_bits
+        )
+        expr = high.bitwiseOR(low)
+        rem = expr if rem is None else F.when(F.col("chunk_idx") == k, expr).otherwise(rem)
+    rem_bits = SIMHASH_BITS - chunk_bits  # 45
+    sub_bits = 12
+    subs = [
+        (F.shiftright(rem, j * sub_bits).bitwiseAND(
+            F.lit((1 << min(sub_bits, rem_bits - j * sub_bits)) - 1)
+        ))
+        for j in range(4)
+    ]
+    sub_grouped = (
+        members.select(
+            "chunk_idx", "chunk", "doc_id", "simhash",
+            F.posexplode(F.array(*subs)).alias("sub_idx", "sub_val"),
+        )
+        .groupBy("chunk_idx", "chunk", "sub_idx", "sub_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem")
+        )
+        .select(
+            F.col("mem.doc_id").alias("ids"), F.col("mem.simhash").alias("sh"),
+        )
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket:
+        sub_grouped = _observe_cap(sub_grouped, max_bucket, "simhash-l2")
+        sub_grouped = sub_grouped.withColumn(
+            "ids", F.slice("ids", 1, max_bucket)
+        ).withColumn("sh", F.slice("sh", 1, max_bucket))
+
+    pairs = _simhash_bucket_pairs(under).unionByName(
+        _simhash_bucket_pairs(sub_grouped)
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()

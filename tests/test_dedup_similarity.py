@@ -286,3 +286,58 @@ def test_decontaminate_flags_probe_overlap(spark, docs_with_dups):
     assert 5 in flagged  # near dup (shared prefix fingerprints)
     assert 3 not in flagged and 6 not in flagged  # unrelated docs clean
     assert (hits.n_hits >= 1).all()
+
+
+def test_simhash_overcap_bucket_stays_complete(spark):
+    """One 15-bit chunk bucket holds ALL docs (past max_bucket); sub-chunk
+    re-banding must still find every Hamming<=3 pair (brute-force parity)
+    as long as the remaining bits are diverse enough to split — the
+    documented completeness condition. Signatures are crafted directly:
+    a shared chunk0 forces the level-1 overflow, distinct high bits give
+    level 2 room, planted pairs differ in <=3 high bits."""
+    import itertools
+
+    import numpy as np
+
+    from insar_spark.operators.dedup import simhash_near_dups
+
+    rng = np.random.default_rng(23)
+    common_chunk0 = 0x5A5A
+    sigs = []
+    for i in range(30):
+        high = int(rng.integers(0, 1 << 45)) << 15
+        a = high | common_chunk0
+        flip = 0
+        for b in rng.choice(45, size=3, replace=False):
+            flip |= 1 << (15 + int(b))
+        sigs.append((2 * i, a))
+        sigs.append((2 * i + 1, a ^ flip))  # planted Hamming<=3 partner
+    df = spark.createDataFrame(pd.DataFrame(sigs, columns=["doc_id", "simhash"]))
+    sig_map = dict(sigs)
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig_map), 2)
+        if bin(sig_map[a] ^ sig_map[b]).count("1") <= 3
+    }
+    assert len(expected) >= 30
+    # cap of 8 << 60 members: the level-1 chunk0 bucket must overflow
+    got_df = simhash_near_dups(df, max_hamming=3, max_bucket=8).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(got_df.id_a, got_df.id_b)}
+    assert got == expected
+
+
+def test_simhash_identical_flood_is_capped_not_quadratic(spark):
+    """The intrinsic limit: members with (near-)identical signatures do
+    not split under re-banding — the level-2 cap bounds the output there
+    (by design, logged), instead of emitting C(n,2) pairs."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 0x123456789ABCD) for i in range(100)],
+            columns=["doc_id", "simhash"],
+        )
+    )
+    from insar_spark.operators.dedup import simhash_near_dups
+
+    got = simhash_near_dups(df, max_hamming=3, max_bucket=8).toPandas()
+    # bounded: at most C(8,2) pairs per (chunk, sub-chunk) bucket family
+    assert 0 < len(got) <= 4 * 4 * 28
