@@ -1141,7 +1141,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact word-3-gram Jaccard verify >= 0.5. Oracle: all-pairs exact Jaccard
     in DuckDB — LSH recall at the shipped 16x4 banding is 1 - (1-s^4)^16,
     ~4e-8 miss at the dataset's planted-dup similarity (J >= 0.9), so the
-    candidate pruning is lossless here and the value-hash gate applies."""
+    candidate pruning is lossless here and the value-hash gate applies
+    (verified against the all-pairs oracle at sf0.001, sf0.01 AND sf0.1)."""
     from insar_spark.operators.dedup import minhash_dedup
 
     docs = load(spark, sf_dir, "documents")
