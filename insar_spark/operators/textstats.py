@@ -164,15 +164,24 @@ def decontaminate(
     )
 
 
-def fingerprint_candidates(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Pairs of docs sharing >= 1 winnowing fingerprint."""
-    x = fps.select(id_col, F.explode("fingerprints").alias("fp"))
-    hot = x.groupBy("fp").count().filter("count > 1").drop("count")
-    x2 = x.join(hot, "fp", "left_semi")
-    b = x2.select(F.col("fp"), F.col(id_col).alias("id_b"))
-    return (
-        x2.join(b, "fp")
-        .filter(F.col(id_col) < F.col("id_b"))
-        .select(F.col(id_col).alias("id_a"), "id_b")
-        .distinct()
+def fingerprint_candidates(
+    fps: DataFrame, id_col: str = "doc_id", max_bucket: int = 512
+) -> DataFrame:
+    """Pairs of docs sharing >= 1 winnowing fingerprint.
+
+    Candidate generation goes through the same bucket path as every other
+    pair generator (dedup._pairs_from_buckets): groupBy(fp) collects a
+    deterministically sorted member array and pairs are generated inside
+    the array — no posting-list self-join. ``max_bucket`` bounds a flooded
+    fingerprint (a boilerplate k-gram that survives winnowing: license
+    headers, templated greetings), which under the old fp equi-join went
+    quadratic in its posting-list length; the dropped mass is
+    Observation-logged, never silent.
+    """
+    from insar_spark.operators.dedup import _pairs_from_buckets
+
+    x = fps.select(id_col, F.explode("fingerprints").alias("fp")).distinct()
+    grouped = x.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
+    return _pairs_from_buckets(grouped, max_bucket, "winnowing-fp")

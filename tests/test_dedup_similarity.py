@@ -184,6 +184,27 @@ def test_winnowing_fingerprints(spark, docs_with_dups):
     assert not any(p == (3, 6) for p in found)
 
 
+def test_fingerprint_flood_is_capped_not_quadratic(spark):
+    """One boilerplate fingerprint shared by many docs (license header /
+    templated greeting surviving winnowing) must not go quadratic: the
+    bucket path caps at max_bucket members — C(cap, 2) pairs from the
+    deterministically-lowest ids — while normal fingerprints still pair."""
+    import itertools
+
+    from insar_spark.operators.textstats import fingerprint_candidates
+
+    rows = [(i, [42]) for i in range(100)]  # flooded fp
+    rows += [(200, [7, 9]), (201, [9]), (300, [11])]  # normal + singleton
+    fps = spark.createDataFrame(rows, "doc_id long, fingerprints array<long>")
+    got = fingerprint_candidates(fps, max_bucket=8).toPandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(got.id_a, got.id_b)}
+    flooded = {p for p in pairs if p[0] < 100}
+    assert flooded == set(itertools.combinations(range(8), 2))  # capped
+    assert (200, 201) in pairs  # normal bucket unaffected
+    assert not any(300 in p for p in pairs)  # singleton dropped
+    assert (got.id_a < got.id_b).all()
+
+
 def test_multimodal_plumbing(spark):
     from insar_spark.operators.multimodal import (
         extract_features,
