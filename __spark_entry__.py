@@ -1138,15 +1138,18 @@ FROM documents
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, JVM-side signatures (shared md5-60 hash),
-    exact word-3-gram Jaccard verify >= 0.5. Oracle: all-pairs exact Jaccard
-    in DuckDB — LSH recall at the shipped 16x4 banding is 1 - (1-s^4)^16,
-    ~4e-8 miss at the dataset's planted-dup similarity (J >= 0.9), so the
-    candidate pruning is lossless here and the value-hash gate applies
-    (verified against the all-pairs oracle at sf0.001, sf0.01 AND sf0.1)."""
+    exact word-3-gram Jaccard verify >= 0.8. Oracle: all-pairs exact Jaccard
+    in DuckDB — LSH recall at the shipped 16x4 banding is 1 - (1-s^4)^16:
+    2e-4 miss at the 0.8 contract boundary, ~4e-8 at the dataset's planted-
+    dup similarity (J >= 0.9). The threshold sits in the banding's
+    recall-safe regime ON PURPOSE (a 0.5 gate would carry ~35% per-pair
+    miss odds at its own boundary and only pass while no borderline pair
+    exists — dataset-dependent). Verified against the all-pairs oracle at
+    sf0.001, sf0.01 AND sf0.1."""
     from insar_spark.operators.dedup import minhash_dedup
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5).select(
+    return minhash_dedup(docs, threshold=0.8).select(
         "id_a", "id_b", _r("jaccard", 6).alias("jaccard")
     )
 
@@ -1164,7 +1167,7 @@ WITH s AS (
          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS u
   FROM s a JOIN s b ON a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.5
+SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.8
 """
 
 
@@ -1659,23 +1662,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MULTIMODAL = """
 WITH d AS (
+  -- byte semantics throughout (the Spark payload is utf-8 BYTES), except
+  -- the width formula, which the Spark side itself derives from the CHAR
+  -- length (F.length on a string column) — faithful to media_from_docs
   SELECT doc_id AS media_id,
          ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-         text, length(text) AS n,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
          (8 + length(text) % 56) * (8 + (doc_id * 7) % 56) AS need
   FROM documents
 ), c AS (
   SELECT media_id, kind, n, need,
-         need // n AS reps, need % n AS rem,
-         list_transform(range(1, n + 1), i -> ord(text[i:i])) AS o
+         list_transform(range(0, n), i ->
+           16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1)
+              + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1)
+         ) AS o
   FROM d
 ), s AS (
+  -- decode stub tiles the n-byte buffer ceil(need/n) times, truncates to
+  -- `need`: full copies = need // n, remainder prefix = need % n bytes
   SELECT media_id, kind, n, need,
-         (reps * list_sum(o) + coalesce(list_sum(o[1:rem]), 0))::DOUBLE
-           / need AS mean,
-         (reps * list_sum(list_transform(o, x -> x * x))
-          + coalesce(list_sum(list_transform(o[1:rem], x -> x * x)), 0))::DOUBLE
-           / need AS ex2
+         CASE WHEN n = 0 THEN 0.0 ELSE
+           ((need // n) * list_sum(o)
+            + coalesce(list_sum(o[1:(need % n)]), 0))::DOUBLE / need END AS mean,
+         CASE WHEN n = 0 THEN 0.0 ELSE
+           ((need // n) * list_sum(list_transform(o, x -> x * x))
+            + coalesce(list_sum(list_transform(o[1:(need % n)], x -> x * x)), 0)
+           )::DOUBLE / need END AS ex2
   FROM c
 )
 SELECT media_id, kind, round(mean, 4) AS feat_mean,

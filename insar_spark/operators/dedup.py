@@ -201,10 +201,11 @@ def jaccard_verify(
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    # no broadcast hint: candidate ids are O(pairs) and unbounded, so a
+    # forced broadcast could OOM at scale — AQE picks broadcast when the
+    # built side is actually small
     d = (
-        docs.join(
-            F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi"
-        )
+        docs.join(ids, F.col(id_col) == F.col("_id"), "left_semi")
         .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(

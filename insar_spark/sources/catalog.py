@@ -157,7 +157,25 @@ class TierStore:
             part = man["partitions"].setdefault(
                 d, {"rows": None, "log": True, "files": []}
             )
-            part.setdefault("files", []).extend(names)
+            if "files" not in part:
+                # legacy pre-file-tracking entry: it was read via the
+                # whole-directory fallback, so adding a 'files' list holding
+                # only the NEW epoch would hide every older parquet file in
+                # the day dir. Enumerate the current directory contents into
+                # the list first (same visibility as the fallback), minus
+                # this epoch's freshly promoted files.
+                day_dir = self.tier_path(tier, d)
+                existing = (
+                    sorted(
+                        f
+                        for f in os.listdir(day_dir)
+                        if f.endswith(".parquet") and f not in set(names)
+                    )
+                    if os.path.isdir(day_dir)
+                    else []
+                )
+                part["files"] = existing
+            part["files"].extend(names)
         self._commit(tier, man)
         return {"written": n, "skipped_epoch": None}
 

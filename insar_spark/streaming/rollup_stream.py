@@ -40,10 +40,11 @@ def streaming_rollup_1m(
     the (ts, turn_idx) ord key via max_by on a struct-free bigint, which IS
     supported inside windowed aggs in Spark 4.
     """
-    o = (
-        F.floor(F.unix_micros("ts") / F.lit(1000)) * F.lit(1 << 20)
-        + F.col("turn_idx")
-    ).alias("ord")
+    # same guarded packing as the batch path (series.ord_key): turn_idx >=
+    # 2^20 must raise identically here, not silently corrupt first/last
+    from insar_spark.operators.series import ord_key
+
+    o = ord_key()
     return (
         turns.select(
             "conv_id",

@@ -9,20 +9,27 @@ Usage (sandbox, synthesized drop):
     python jobs/stream_job.py --input synth:200 --store /tmp/tiers \
         --checkpoint /tmp/ckpt --drain
 
-Flow:
+Flow — one CYCLE is:
   file-source stream -> watermarked 1m tumbling rollup -> epoch-tagged
   commits into the ``1m_log`` tier (update mode, exactly-once via the
-  snapshot manifest) -> ``seal_and_compact``: days the watermark has
-  finalized move into ordinary committed ``1m`` partitions and are
-  truncated from the log. Restartable at every level: the stream resumes
-  from its checkpoint, replayed epochs are dropped by the manifest tag,
-  and the compactor's write path skips already-committed days — the
-  streaming analog of the reference's check_dset/start_layer resume
-  (insar/prepare.py:228, :942).
+  snapshot manifest) -> stream STOPPED -> ``seal_and_compact``: days the
+  watermark has finalized move into ordinary committed ``1m`` partitions
+  and are truncated from the log.
 
-``--drain`` processes whatever files exist and exits (tests / batch-drop
-backfill); without it the query runs until interrupted, compacting after
-each drain interval.
+The seal only ever runs against a quiesced stream: epoch commits
+(foreachBatch) and the seal's truncate-commit do read-modify-write on the
+same snapshot manifest, so running them concurrently could clobber either
+commit (resurrected day entries pointing at vacuumed files, or a lost
+epoch tag causing duplicate rows on replay). Stopping the query between
+cycles removes the race by construction — the stream resumes from its
+checkpoint at the next cycle, replayed epochs are dropped by the manifest
+tag, and the compactor's write path skips already-committed days — the
+streaming analog of the reference's check_dset/start_layer resume
+(insar/prepare.py:228, :942).
+
+``--drain`` runs one cycle and exits (tests / batch-drop backfill);
+without it the job loops cycles every ``--seal-interval`` seconds until
+interrupted.
 """
 
 from __future__ import annotations
@@ -36,13 +43,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv: list[str] | None = None) -> dict:
-    from insar_spark.session import get_spark
-    from insar_spark.sources.catalog import TierStore
+def run_cycle(spark, store, src: str, checkpoint: str, watermark: str) -> dict:
+    """One quiesced ingest+seal cycle: drain available files, stop the
+    query, then seal — no epoch commit can interleave with the seal's
+    manifest read-modify-write."""
     from insar_spark.streaming.rollup_stream import (
         seal_and_compact,
         stream_to_tierstore,
     )
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=checkpoint,
+        watermark=watermark, tier="1m_log",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return seal_and_compact(
+        spark, store, log_tier="1m_log", sealed_tier="1m",
+        watermark=watermark,
+    )
+
+
+def main(argv: list[str] | None = None) -> dict:
+    from insar_spark.session import get_spark
+    from insar_spark.sources.catalog import TierStore
     from insar_spark.synth import synth_transcripts
 
     p = argparse.ArgumentParser()
@@ -52,7 +78,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--watermark", default="10 minutes")
     p.add_argument("--master", default=None)
     p.add_argument("--drain", action="store_true",
-                   help="process available files, seal, and exit")
+                   help="run one ingest+seal cycle and exit")
+    p.add_argument("--seal-interval", type=float, default=60.0,
+                   help="seconds between cycles in continuous mode")
+    p.add_argument("--max-cycles", type=int, default=0,
+                   help="stop after N cycles (0 = until interrupted)")
     args = p.parse_args(argv)
 
     spark = get_spark("stream_job", master=args.master)
@@ -67,30 +97,25 @@ def main(argv: list[str] | None = None) -> dict:
                 spark, n_convs=int(args.input.split(":")[1])
             ).write.mode("overwrite").parquet(src)
 
-    t0 = time.perf_counter()
-    q = stream_to_tierstore(
-        spark, src, store, checkpoint_dir=args.checkpoint,
-        watermark=args.watermark, tier="1m_log",
-    )
-    q.processAllAvailable()
-    if args.drain:
-        q.stop()
-    seal = seal_and_compact(
-        spark, store, log_tier="1m_log", sealed_tier="1m",
-        watermark=args.watermark,
-    )
-    metrics = {
-        "seal_before": seal["seal_before"],
-        "sealed_days": len(seal["written_days"]),
-        "truncated_log_days": len(seal["truncated"]),
-        "open_log_days": len(store.committed_days("1m_log")),
-        "committed_1m_days": len(store.committed_days("1m")),
-        "wall_sec": round(time.perf_counter() - t0, 3),
-    }
-    print(json.dumps(metrics))
-    if not args.drain:
-        q.awaitTermination()
-    return metrics
+    cycle = 0
+    metrics: dict = {}
+    while True:
+        cycle += 1
+        t0 = time.perf_counter()
+        seal = run_cycle(spark, store, src, args.checkpoint, args.watermark)
+        metrics = {
+            "cycle": cycle,
+            "seal_before": seal["seal_before"],
+            "sealed_days": len(seal["written_days"]),
+            "truncated_log_days": len(seal["truncated"]),
+            "open_log_days": len(store.committed_days("1m_log")),
+            "committed_1m_days": len(store.committed_days("1m")),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(metrics), flush=True)
+        if args.drain or (args.max_cycles and cycle >= args.max_cycles):
+            return metrics
+        time.sleep(args.seal_interval)
 
 
 if __name__ == "__main__":

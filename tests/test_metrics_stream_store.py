@@ -84,3 +84,32 @@ def test_write_tier_log_epoch_replay_dropped(spark, tmp_path, transcripts):
     replay = store.write_tier_log(r, "1m", epoch=0)  # crash-replay of epoch 0
     assert replay["skipped_epoch"] == 0
     assert store.read_tier_log(spark, "1m").count() == r.count()
+
+
+def test_write_tier_log_onto_legacy_entry_keeps_old_files(spark, tmp_path, transcripts):
+    """A pre-file-tracking day entry (no 'files' list — read via the
+    whole-directory fallback) that receives a new epoch append must not
+    flip to a file list containing ONLY the new epoch: the older parquet
+    files in the day dir would silently vanish from read_tier."""
+    import json
+
+    from insar_spark.operators.rollup import rollup_turns
+
+    store = TierStore(str(tmp_path / "tiers3"))
+    r = rollup_turns(transcripts.filter("conv_id < 'conv00000005'"), "1m")
+    store.write_tier_log(r, "1m", epoch=0)
+    n0 = store.read_tier(spark, "1m").count()
+
+    # simulate a store written before file tracking: strip 'files'
+    mp = store._manifest_path("1m")
+    man = json.load(open(mp))
+    for part in man["partitions"].values():
+        part.pop("files", None)
+    json.dump(man, open(mp, "w"))
+    assert store.read_tier(spark, "1m").count() == n0  # dir fallback works
+
+    r2 = rollup_turns(transcripts.filter("conv_id < 'conv00000003'"), "1m")
+    second = store.write_tier_log(r2, "1m", epoch=1)
+    assert second["written"] > 0
+    # both generations visible: old (enumerated into the list) + new epoch
+    assert store.read_tier(spark, "1m").count() == n0 + second["written"]

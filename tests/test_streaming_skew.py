@@ -168,3 +168,32 @@ def test_ord_key_overflow_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="ord_key overflow"):
         df.select(ord_key()).collect()
+
+
+def test_streaming_ord_key_overflow_fails_loudly(spark, tmp_path):
+    """The streaming 1m rollup packs the same ord key: a turn_idx >= 2^20
+    must raise in the micro-batch exactly as the batch path does, not
+    silently corrupt first/last ordering."""
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+
+    from insar_spark.streaming.rollup_stream import run_stream_to_memory
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "turn_idx": pd.array([1 << 20], dtype="int32"),
+                "role": ["user"],
+                "text": ["hi"],
+                "tool": [None],
+                "ts": [dt.datetime(2025, 1, 1)],
+            }
+        )
+    )
+    src = str(tmp_path / "overflow_src")
+    df.write.mode("overwrite").parquet(src)
+    with pytest.raises(Exception, match="ord_key overflow"):
+        run_stream_to_memory(spark, src, query_name="t1m_overflow")
