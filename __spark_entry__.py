@@ -1010,9 +1010,29 @@ def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_W7_SPLINE = (
-    SERIES_CTE
-    + """
+def q_w7_gapfill_spline_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spline resample over SHORT series: restricting the scan to a 2-day
+    window leaves every conversation with only 1 or 2 observed daily
+    points, forcing the n==1 constant and n==2 linear (np.interp) branches
+    of both engines — branches the full-range spline query never reaches
+    (round-2 open item: the SQL linear formula was assumed bit-equal to
+    np.interp but unproven). Same oracle body as w7_gapfill_spline, same
+    date filter."""
+    from insar_spark.operators.gapfill import resample_spline
+
+    t = events_series(spark, sf_dir, ts_min="2024-01-10", ts_max="2024-01-12")
+    return resample_spline(t, interval_sec=86_400, ord_col="ord").select(
+        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+    )
+
+
+_SERIES_CTE_2DAY = SERIES_CTE.replace(
+    "FROM events",
+    "FROM events\n"
+    "  WHERE ts >= timestamp '2024-01-10' AND ts < timestamp '2024-01-12'",
+)
+
+_SQL_W7_SPLINE_BODY = """
 , obs AS (
   SELECT conv_id, date_trunc('day', ts) AS grid_ts, arg_max(v, ord) AS v
   FROM t GROUP BY 1, 2
@@ -1074,7 +1094,9 @@ SELECT conv_id, make_timestamp(q) AS grid_ts,
   list_contains(xi, q) AS is_observed
 FROM ev
 """
-)
+
+_SQL_W7_SPLINE = SERIES_CTE + _SQL_W7_SPLINE_BODY
+_SQL_W7_SPLINE_N2 = _SERIES_CTE_2DAY + _SQL_W7_SPLINE_BODY
 
 
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,6 +1332,26 @@ WHERE bit_count(xor(s.bucket, q.qb)) <= 2
 ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
 LIMIT {k}
 """
+
+
+def q_sim_lsh_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed ANN top-k: signatures persisted once at write time
+    (lsh_write, partitionBy(bucket)); the query probes <= 56 bucket
+    partitions via partition pruning — no corpus rescan, no per-query
+    signature recompute (the round-2 weak spot). Bit-identical to the
+    scan path by construction, so it shares sim_lsh_topk's full SQL
+    oracle (inlined plane literals + Hamming-probe predicate)."""
+    import tempfile
+
+    from insar_spark.operators.similarity import lsh_topk_from_store, lsh_write
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="lsh_store_")
+    lsh_write(emb, path, dim=len(qv), n_bits=10, seed=7)
+    return lsh_topk_from_store(
+        spark, path, qv, k=20, n_bits=10, seed=7
+    ).select("vec_id", _r("cos_sim", 4).alias("cos_sim"))
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_l1_solve": q_a9_l1_solve,
         "detrend_linear": q_detrend_linear,
         "sbas_solve_allpairs": q_sbas_solve_allpairs,
+        # -- new this round ------------------------------------------------
+        "sim_lsh_store_topk": q_sim_lsh_store_topk,
+        "w7_gapfill_spline_n2": q_w7_gapfill_spline_n2,
         # -- r2-confirmed queries kept in-window (flagship path + every
         #    query whose implementation changes this round) ----------------
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2200,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _SQL_EMB_NEAR_DUPS,
         "multimodal_features": _SQL_MULTIMODAL,
         "sim_lsh_topk": _sql_sim_lsh(),
+        "sim_lsh_store_topk": _sql_sim_lsh(),  # store path == scan path
         "sim_ivf_topk": _sql_sim_ivf(),
         "pii_redact": _sql_pii_redact(),
         "decontaminate": _sql_decontaminate(),
@@ -2211,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "w5_lowess_smooth": _sql_w5_robust(),
         "w6_temporal_filter": _SQL_W6,
         "w7_gapfill_spline": _SQL_W7_SPLINE,
+        "w7_gapfill_spline_n2": _SQL_W7_SPLINE_N2,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

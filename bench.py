@@ -97,6 +97,29 @@ def headline_queries(spark):
         ]
     }
     qs["sbas_invert_adjacent"] = sbas
+
+    # store-backed ANN: the index is built once, untimed (write-time cost,
+    # amortized over every query at scale); the timed part is the
+    # production read shape — partition-pruned probe + exact rerank
+    import tempfile
+
+    from insar_spark.operators.similarity import lsh_topk_from_store, lsh_write
+    from insar_spark.sources.events import load
+
+    store_path = tempfile.mkdtemp(prefix="bench_lsh_")
+
+    def lsh_store(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        if not os.listdir(store_path):
+            lsh_write(emb, store_path, dim=len(qv), n_bits=10, seed=7)
+        # run_timed materializes the returned plan: only the partition-
+        # pruned probe + rerank is measured, not the index build above
+        return lsh_topk_from_store(
+            spark, store_path, qv, k=20, n_bits=10, seed=7
+        )
+
+    qs["sim_lsh_store_topk"] = lsh_store
     return qs
 
 

@@ -43,11 +43,7 @@ def brute_force_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector (JVM only)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
-        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim")
-    )
-    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+    return _rerank_exact(emb, query_vec, k, id_col, vec_col)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -74,15 +70,13 @@ def hyperplane_signatures(
     return emb.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
 
 
-def hyperplane_lsh_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10,
-    n_bits: int = 12, seed: int = 7, multiprobe_bits: int = 2,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN top-k: probe the query bucket + all buckets within
-    ``multiprobe_bits`` bit flips, exact-rerank candidates."""
-    dim = len(query_vec)
-    H = _hyperplanes(dim, n_bits, seed)
+def _probe_buckets(
+    query_vec: list[float], n_bits: int, seed: int, multiprobe_bits: int
+) -> list[int]:
+    """The query's signature bucket plus every bucket within
+    ``multiprobe_bits`` bit flips (driver-side arithmetic on the seeded
+    hyperplanes — no data touched)."""
+    H = _hyperplanes(len(query_vec), n_bits, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = (H @ qv) > 0
     qb = int((qbits * (1 << np.arange(n_bits))).sum())
@@ -95,14 +89,69 @@ def hyperplane_lsh_topk(
             for i in range(n_bits)
             for j in range(i + 1, n_bits)
         }
-    sigs = hyperplane_signatures(emb, dim, n_bits, seed, id_col, vec_col)
-    cand = sigs.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    return sorted(int(p) for p in probes)
+
+
+def _rerank_exact(
+    cand: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    n_bits: int = 12, seed: int = 7, multiprobe_bits: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query bucket + all buckets within
+    ``multiprobe_bits`` bit flips, exact-rerank candidates.
+
+    This path recomputes signatures over the corpus per query — fine for
+    a one-shot scan; repeated queries should hit a persisted index
+    (``lsh_write`` + ``lsh_topk_from_store``) where the probe predicate
+    prunes partitions instead."""
+    probes = _probe_buckets(query_vec, n_bits, seed, multiprobe_bits)
+    sigs = hyperplane_signatures(
+        emb, len(query_vec), n_bits, seed, id_col, vec_col
+    )
+    cand = sigs.filter(F.col("bucket").isin(probes))
+    return _rerank_exact(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_write(
+    emb: DataFrame, path: str, dim: int, n_bits: int = 12, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index partitioned by signature bucket — signatures
+    are computed ONCE at write time (the reference's own layout rule:
+    chunk = full series, insar/timeseries.py:152-153, applied to ANN). A
+    query then probes <= 1 + C(n_bits,1) + C(n_bits,2) bucket partitions
+    via partition pruning instead of rescanning the corpus."""
+    (
+        hyperplane_signatures(emb, dim, n_bits, seed, id_col, vec_col)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def lsh_topk_from_store(
+    spark, path: str, query_vec: list[float], k: int = 10,
+    n_bits: int = 12, seed: int = 7, multiprobe_bits: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against the bucket-partitioned store: the probe predicate
+    reaches the file listing (PartitionFilters), so only the probed
+    buckets are read — no signature recompute, no corpus scan."""
+    probes = _probe_buckets(query_vec, n_bits, seed, multiprobe_bits)
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return _rerank_exact(cand, query_vec, k, id_col, vec_col)
 
 
 def multiband_signatures(
@@ -239,12 +288,7 @@ def ivf_topk_from_store(
     d2 = ((centroids - qv) ** 2).sum(axis=1)
     probes = [int(c) for c in np.argsort(d2)[:n_probe]]
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
-    )
+    return _rerank_exact(cand, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -257,9 +301,4 @@ def ivf_topk(
     probes = [int(c) for c in np.argsort(d2)[:n_probe]]
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("cell").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(F.col(id_col), cosine_col(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
-    )
+    return _rerank_exact(cand, query_vec, k, id_col, vec_col)

@@ -101,3 +101,42 @@ def test_solve_from_blobs_equals_pair_solve(spark, transcripts):
     np.testing.assert_allclose(
         via_pairs["phase"].to_numpy(), via_blobs["phase"].to_numpy(), atol=1e-9
     )
+
+
+def test_lsh_store_partition_pruning(spark, tmp_path):
+    """Persisted hyperplane-LSH index: signatures computed once at write
+    time, query probes prune to <= 56 bucket partitions (n_bits=10,
+    multiprobe<=2), and the store path returns exactly what the
+    scan-recompute path returns."""
+    from insar_spark.operators.similarity import (
+        hyperplane_lsh_topk,
+        lsh_topk_from_store,
+        lsh_write,
+    )
+
+    rng = np.random.default_rng(33)
+    V = rng.normal(size=(400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(len(V)), "embedding": list(map(list, V))})
+    emb = spark.createDataFrame(pdf)
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, dim=16, n_bits=10, seed=7)
+
+    qv = [float(x) for x in V[5]]
+    topk = lsh_topk_from_store(spark, path, qv, k=10, n_bits=10, seed=7)
+
+    # pruning: the bucket predicate reaches the scan as a partition filter
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan[:800]
+
+    # store path == scan-recompute path, bit for bit
+    a = topk.toPandas().reset_index(drop=True)
+    b = (
+        hyperplane_lsh_topk(emb, qv, k=10, n_bits=10, seed=7)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert a.vec_id.tolist() == b.vec_id.tolist()
+    np.testing.assert_allclose(a.cos_sim, b.cos_sim, rtol=0, atol=0)
