@@ -197,3 +197,104 @@ def test_streaming_ord_key_overflow_fails_loudly(spark, tmp_path):
     df.write.mode("overwrite").parquet(src)
     with pytest.raises(Exception, match="ord_key overflow"):
         run_stream_to_memory(spark, src, query_name="t1m_overflow")
+
+
+def _mega_plus_tail(spark, mega_turns: int, tail_convs: int, tail_turns: int):
+    """One mega conversation + a long tail, whole-second timestamps,
+    deterministic values — built JVM-side (no driver-side 10^5-row pandas)."""
+    import pyspark.sql.functions as F
+
+    mega = spark.range(mega_turns).select(
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("id") * 2).alias("ts"),
+        (F.pmod(F.col("id") * 37, F.lit(997)).cast("double") + 1.0).alias(
+            "text_len"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit("search")).alias("tool"),
+    ).withColumn(
+        "text", F.repeat(F.lit("x"), F.col("text_len").cast("int"))
+    )
+    tail = spark.range(tail_convs * tail_turns).select(
+        F.concat(F.lit("t"), (F.col("id") % tail_convs).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("id") / tail_convs).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + (F.col("id") / tail_convs).cast("long") * 7
+        ).alias("ts"),
+        (F.pmod(F.col("id") * 13, F.lit(503)).cast("double") + 1.0).alias(
+            "text_len"
+        ),
+        F.when(F.col("id") % 3 == 0, F.lit("code")).alias("tool"),
+    ).withColumn(
+        "text", F.repeat(F.lit("x"), F.col("text_len").cast("int"))
+    )
+    return mega.unionByName(tail)
+
+
+def test_mega_series_composed_pipeline_equals_plain(spark):
+    """The 100-TB skew story END TO END on a real 10^5-turn conversation:
+    route_by_size -> chunked deltas -> salted rollup -> solve, each stage
+    equal to its plain single-window counterpart (the pieces were tested
+    separately before; this is the composed proof)."""
+    import pyspark.sql.functions as F
+
+    from insar_spark.operators.sbas import invert_pairs
+    from insar_spark.operators.series import adjacent_pairs
+
+    df = _mega_plus_tail(spark, mega_turns=100_000, tail_convs=20, tail_turns=50)
+
+    # stage 1: deltas — routed (mega through the chunked path) == plain
+    routed = _sorted(
+        route_by_size(df, mega_threshold=50_000, chunk_size=10_000).toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    plain = _sorted(turn_deltas(df).toPandas(), ["conv_id", "turn_idx"])
+    pd.testing.assert_series_equal(routed["delta_v"], plain["delta_v"])
+    pd.testing.assert_series_equal(routed["dt_sec"], plain["dt_sec"])
+
+    # stage 2: rollup — salted two-phase == plain tier rollup
+    cols = ["n_turns", "n_tool_calls", "sum_text_len", "min_text_len", "max_text_len"]
+    salted = _sorted(
+        salted_two_phase_rollup(df, "minute", value_col="text_len").toPandas(),
+        ["conv_id", "window_start"],
+    )
+    direct = _sorted(
+        rollup_turns(df, "1m").toPandas(), ["conv_id", "window_start"]
+    )
+    for c in cols:
+        np.testing.assert_array_equal(
+            salted[c].to_numpy("float64"), direct[c].to_numpy("float64"), err_msg=c
+        )
+
+    # stage 3: solve — pairs derived from the ROUTED deltas == pairs from
+    # the plain window operator, through the same SBAS kernel. A dense
+    # bandwidth-1 solve is O(n^2) memory in series length, so the solve
+    # stage runs on a 2k-turn mega (threshold 500) — still the chunked
+    # path, bounded kernel size.
+    df_s = _mega_plus_tail(spark, mega_turns=2_000, tail_convs=10, tail_turns=40)
+    routed_d = route_by_size(df_s, mega_threshold=500, chunk_size=256)
+    pairs_routed = routed_d.filter(F.col("dt_sec").isNotNull()).select(
+        "conv_id",
+        F.timestamp_micros(
+            F.unix_micros("ts") - (F.col("dt_sec") * 1_000_000).cast("long")
+        ).alias("early_ts"),
+        F.col("ts").alias("late_ts"),
+        "delta_v",
+    )
+    got = _sorted(
+        invert_pairs(pairs_routed, prefilter=False).toPandas(),
+        ["conv_id", "date_num"],
+    )
+    exp = _sorted(
+        invert_pairs(
+            adjacent_pairs(df_s, "text_len", k=1), prefilter=False
+        ).toPandas(),
+        ["conv_id", "date_num"],
+    )
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    np.testing.assert_array_equal(got["phase"], exp["phase"])
+    np.testing.assert_array_equal(
+        got["temporal_coherence"], exp["temporal_coherence"]
+    )
