@@ -20,13 +20,23 @@ from insar_spark.synth import TRANSCRIPT_SCHEMA
 
 
 def read_transcript_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 4
 ) -> DataFrame:
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    """File-source stream over parquet drops.
+
+    ``max_files_per_trigger=None`` processes every available file in ONE
+    micro-batch. That is the right setting for drop/backfill replay: the
+    files of one drop carry no time ordering among themselves, so slicing
+    a drop into several micro-batches lets the first slice advance the
+    event-time watermark past rows still waiting in a later slice — the
+    aggregation then drops them as late (real data loss, caught by
+    test_stream_job_two_cycles_with_mid_arrival). A bounded trigger is
+    only safe when files arrive (and are picked up) in event-time order,
+    e.g. a live tail of minute-granular drops."""
+    rs = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    return rs.parquet(path)
 
 
 def streaming_rollup_1m(
@@ -86,8 +96,11 @@ def run_stream_to_memory(
     spark: SparkSession, src_path: str, query_name: str = "tier_1m_stream"
 ):
     """Drive the stream synchronously over whatever files exist (tests /
-    smoke); returns the StreamingQuery (already stopped)."""
-    stream = streaming_rollup_1m(read_transcript_stream(spark, src_path))
+    smoke); returns the StreamingQuery (already stopped). Whole-drop
+    trigger (None): replayed files carry no time order among themselves."""
+    stream = streaming_rollup_1m(
+        read_transcript_stream(spark, src_path, max_files_per_trigger=None)
+    )
     q = (
         stream.writeStream.outputMode("complete")
         .format("memory")
@@ -106,8 +119,13 @@ def stream_to_tierstore(
     checkpoint_dir: str,
     watermark: str = "10 minutes",
     tier: str = "1m",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous 1m-tier ingestion committed through TierStore.
+
+    ``max_files_per_trigger`` defaults to None (whole drop per
+    micro-batch) — see read_transcript_stream for why a bounded trigger
+    over an unordered drop loses beyond-watermark rows.
 
     ``foreachBatch`` gives exactly-once at the partition level: each
     micro-batch's rollup goes through the same snapshot-manifest commit as
@@ -118,7 +136,10 @@ def stream_to_tierstore(
     watermark; the TierStore day-commit granularity means a day is sealed
     once its last window has been finalized.
     """
-    stream = streaming_rollup_1m(read_transcript_stream(spark, src_path), watermark)
+    stream = streaming_rollup_1m(
+        read_transcript_stream(spark, src_path, max_files_per_trigger),
+        watermark,
+    )
 
     def sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():

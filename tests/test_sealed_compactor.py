@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -97,3 +98,55 @@ def test_stream_job_cli_drain_and_restart(spark, tmp_path):
     m2 = job_main(args)
     assert m2["sealed_days"] == 0  # resume: nothing re-sealed
     assert m2["committed_1m_days"] == m1["committed_1m_days"]
+
+
+def test_stream_job_two_cycles_with_mid_arrival(spark, tmp_path):
+    """The quiesced-cycle loop (stream drained and STOPPED before each
+    seal): a second parquet drop landing between cycles is picked up by
+    the checkpoint-resumed stream in cycle 2, and the sealed+open union
+    equals the batch rollup over everything — no duplicates, no loss,
+    no seal racing an epoch commit (the stream is never live during a
+    seal by construction)."""
+    from insar_spark.operators.rollup import rollup_turns
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.streaming.rollup_stream import sealed_union_view
+    from insar_spark.synth import synth_transcripts
+    from jobs.stream_job import run_cycle
+
+    store = TierStore(str(tmp_path / "tiers_cycles"))
+    src = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt_cycles")
+
+    a = synth_transcripts(spark, n_convs=40, seed=5)
+    # the second drop is LATER event time (the stream moves forward —
+    # data for an already-sealed day would be beyond-watermark late data,
+    # which the seal contract finalizes away by design)
+    b = (
+        synth_transcripts(spark, n_convs=40, seed=6)
+        .withColumn("conv_id", F.concat(F.lit("x"), "conv_id"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+    )
+    a.write.mode("overwrite").parquet(src)
+    s1 = run_cycle(spark, store, src, ckpt, watermark="60 minutes")
+    assert s1["written_days"]
+    b.write.mode("append").parquet(src)  # arrives between cycles
+    s2 = run_cycle(spark, store, src, ckpt, watermark="60 minutes")
+    assert s2["written_days"]  # cycle 2 sealed the new data's days
+
+    got = (
+        sealed_union_view(spark, store)
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup_turns(a.unionByName(b), "1m")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["n_turns", "sum_text_len", "first_text_len", "last_text_len"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy("float64"), exp[c].to_numpy("float64"), err_msg=c
+        )
