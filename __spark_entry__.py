@@ -1698,11 +1698,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insar_spark.operators.multimodal import extract_features, media_from_docs
 
     docs = load(spark, sf_dir, "documents")
+    # NO rounding here, deliberately: both engines derive mean/std from
+    # EXACT integer pixel sums followed by one float division each, so the
+    # doubles are bit-identical by construction — while rounding would
+    # BREAK parity at decimal boundaries (Spark's Java round works on the
+    # shortest decimal repr, DuckDB's on the binary value; a sf0.1 doc at
+    # mean 92.60124999999999 rounds to .6013 vs .6012).
     return extract_features(media_from_docs(docs)).select(
         "media_id",
         "kind",
-        _r("feat_mean", 4).alias("feat_mean"),
-        _r("feat_std", 4).alias("feat_std"),
+        "feat_mean",
+        "feat_std",
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
 
@@ -1738,8 +1744,8 @@ WITH d AS (
            )::DOUBLE / need END AS ex2
   FROM c
 )
-SELECT media_id, kind, round(mean, 4) AS feat_mean,
-       round(sqrt(ex2 - mean * mean), 4) AS feat_std, n AS n_bytes
+SELECT media_id, kind, mean AS feat_mean,
+       sqrt(ex2 - mean * mean) AS feat_std, n AS n_bytes
 FROM s
 """
 

@@ -140,12 +140,22 @@ def extract_features(
                     step_y = max(1, h // thumb_side)
                     step_x = max(1, w // thumb_side)
                     thumb = img[::step_y, ::step_x][:thumb_side, :thumb_side]
+                    # uint8 pixel stats via EXACT integer sums, then one
+                    # float division each — summation-order-independent, so
+                    # an independent engine (the SQL oracle) lands on the
+                    # bit-identical double. np.mean's pairwise float sum
+                    # differs by an ulp and flips 4dp rounding boundaries
+                    # (caught at sf0.1: 1/5000 rows off by 1e-4).
+                    px = img.astype(np.int64, copy=False)
+                    n_px = px.size
+                    mean = float(int(px.sum()) / n_px)
+                    ex2 = float(int((px * px).sum()) / n_px)
                     out.append(
                         {
                             "media_id": row.media_id,
                             "kind": row.kind,
-                            "feat_mean": float(img.mean()),
-                            "feat_std": float(img.std()),
+                            "feat_mean": mean,
+                            "feat_std": float(np.sqrt(ex2 - mean * mean)),
                             "n_bytes": len(row.payload),
                             "thumb": thumb.tobytes(),
                         }

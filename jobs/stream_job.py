@@ -14,7 +14,9 @@ Flow — one CYCLE is:
   commits into the ``1m_log`` tier (update mode, exactly-once via the
   snapshot manifest) -> stream STOPPED -> ``seal_and_compact``: days the
   watermark has finalized move into ordinary committed ``1m`` partitions
-  and are truncated from the log.
+  and are truncated from the log -> the 1h and 1d continuous aggregates
+  cascade from the STORED finer tier for the newly sealed horizon
+  (exact re-aggregation of decomposable stats; idempotent day-resume).
 
 The seal only ever runs against a quiesced stream: epoch commits
 (foreachBatch) and the seal's truncate-commit do read-modify-write on the
@@ -44,9 +46,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_cycle(spark, store, src: str, checkpoint: str, watermark: str) -> dict:
-    """One quiesced ingest+seal cycle: drain available files, stop the
-    query, then seal — no epoch commit can interleave with the seal's
-    manifest read-modify-write."""
+    """One quiesced ingest+seal+cascade cycle: drain available files, stop
+    the query, seal watermark-finalized days from the epoch log into the
+    committed 1m tier, then maintain the coarser continuous aggregates —
+    1h and 1d cascade from the STORED finer tier (never raw turns), with
+    write_tier's day-resume skip making every step idempotent. No epoch
+    commit can interleave with any manifest read-modify-write (the stream
+    is stopped first)."""
+    from insar_spark.operators.rollup import cascade
     from insar_spark.streaming.rollup_stream import (
         seal_and_compact,
         stream_to_tierstore,
@@ -60,10 +67,29 @@ def run_cycle(spark, store, src: str, checkpoint: str, watermark: str) -> dict:
         q.processAllAvailable()
     finally:
         q.stop()
-    return seal_and_compact(
+    seal = seal_and_compact(
         spark, store, log_tier="1m_log", sealed_tier="1m",
         watermark=watermark,
     )
+    # a sealed 1m day is final (watermark passed), so its 1h/1d windows
+    # are final too — cascade them under the same seal horizon
+    seal["cascaded"] = {}
+    if seal["written_days"]:
+        params = {"source": "stream_cycle_cascade"}
+        stored_1m = store.read_tier(spark, "1m").drop("day")
+        r1h = store.write_tier(
+            cascade(stored_1m, "1h"), "1h",
+            run_params=params, seal_before=seal["seal_before"],
+        )
+        stored_1h = store.read_tier(spark, "1h").drop("day")
+        r1d = store.write_tier(
+            cascade(stored_1h, "1d"), "1d",
+            run_params=params, seal_before=seal["seal_before"],
+        )
+        seal["cascaded"] = {
+            "1h": r1h["written_days"], "1d": r1d["written_days"]
+        }
+    return seal
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -110,6 +136,8 @@ def main(argv: list[str] | None = None) -> dict:
             "truncated_log_days": len(seal["truncated"]),
             "open_log_days": len(store.committed_days("1m_log")),
             "committed_1m_days": len(store.committed_days("1m")),
+            "cascaded_1h_days": len(seal["cascaded"].get("1h", [])),
+            "cascaded_1d_days": len(seal["cascaded"].get("1d", [])),
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         print(json.dumps(metrics), flush=True)

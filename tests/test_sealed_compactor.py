@@ -150,3 +150,23 @@ def test_stream_job_two_cycles_with_mid_arrival(spark, tmp_path):
         np.testing.assert_allclose(
             got[c].to_numpy("float64"), exp[c].to_numpy("float64"), err_msg=c
         )
+
+    # the cycle also maintained the coarser continuous aggregates: each
+    # stored tier is the exact cascade of the stored finer tier
+    from insar_spark.operators.rollup import cascade
+
+    s1m = store.read_tier(spark, "1m").drop("day")
+    s1h = store.read_tier(spark, "1h").drop("day")
+    s1d = store.read_tier(spark, "1d").drop("day")
+    for got_t, exp_t, name in (
+        (s1h, cascade(s1m, "1h"), "1h"),
+        (s1d, cascade(s1h, "1d"), "1d"),
+    ):
+        g = got_t.toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        e = exp_t.toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        assert len(g) == len(e) > 0, name
+        for c in ["n_turns", "sum_text_len", "first_text_len", "last_text_len"]:
+            np.testing.assert_allclose(
+                g[c].to_numpy("float64"), e[c].to_numpy("float64"),
+                err_msg=f"{name}.{c}",
+            )
