@@ -1104,6 +1104,57 @@ _SQL_W7_SPLINE = SERIES_CTE + _SQL_W7_SPLINE_BODY
 _SQL_W7_SPLINE_N2 = _SERIES_CTE_2DAY + _SQL_W7_SPLINE_BODY
 
 
+def q_hist_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentile tier: 1m histogram rollup CASCADED to
+    1h (element-wise bin merge — the decomposable-summary property exact
+    percentiles lack), then a p95 estimate from the merged sketch via a
+    JVM aggregate fold. The oracle rebuilds the 1h histogram directly in
+    SQL (the cascade is exact, so direct == cascaded) and replays the
+    same rank/upper-edge convention with a window cumsum."""
+    from insar_spark.operators.sketch import (
+        hist_cascade,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    t = events_series(spark, sf_dir)
+    h1m = hist_rollup(t, "1m", value_col="v")
+    h1h = hist_cascade(h1m, "1h")
+    return h1h.select(
+        "conv_id",
+        "window_start",
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_points"
+        ),
+        hist_quantile("hist", 0.95).alias("p95_est"),
+        hist_quantile("hist", 0.50).alias("p50_est"),
+    )
+
+
+_SQL_HIST_P95 = (
+    SERIES_CTE
+    + """
+, b AS (
+  SELECT conv_id, date_trunc('hour', ts) AS window_start,
+         least(63, greatest(0, floor(v / 16.0)::INT)) AS bin
+  FROM t
+), c AS (
+  SELECT conv_id, window_start, bin, count(*) AS cnt
+  FROM b GROUP BY 1, 2, 3
+), w AS (
+  SELECT conv_id, window_start, bin, cnt,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY conv_id, window_start) AS total
+  FROM c
+)
+SELECT conv_id, window_start, max(total)::BIGINT AS n_points,
+       0.0 + 16.0 * (min(bin) FILTER (cum >= ceil(total * 0.95)) + 1) AS p95_est,
+       0.0 + 16.0 * (min(bin) FILTER (cum >= ceil(total * 0.50)) + 1) AS p50_est
+FROM w GROUP BY conv_id, window_start
+"""
+)
+
+
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla round-trip identity: compress each series (delta-of-delta ts +
     XOR values), decompress, and aggregate the decoded rows. Because the
@@ -2143,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ------------------------------------------------
         "sim_lsh_store_topk": q_sim_lsh_store_topk,
         "w7_gapfill_spline_n2": q_w7_gapfill_spline_n2,
+        "hist_p95_1h": q_hist_p95_1h,
         # -- r2-confirmed queries kept in-window (flagship path + every
         #    query whose implementation changes this round) ----------------
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2269,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "w6_temporal_filter": _SQL_W6,
         "w7_gapfill_spline": _SQL_W7_SPLINE,
         "w7_gapfill_spline_n2": _SQL_W7_SPLINE_N2,
+        "hist_p95_1h": _SQL_HIST_P95,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

@@ -94,6 +94,7 @@ def headline_queries(spark):
             "w7_gapfill_linear_1d",
             "w5_lowess_smooth",
             "sbas_solve_from_blobs",
+            "hist_p95_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

@@ -1,0 +1,140 @@
+"""Mergeable histogram sketches: percentile estimates as a retention tier.
+
+The exact-percentile operator (A6, `percentile` over raw values) cannot
+live in a continuous aggregate — percentiles are not decomposable, so a
+1h percentile cannot be rebuilt from 1m percentiles. The classic fix
+(TimescaleDB/Druid continuous aggregates, monitoring rollups) is a
+MERGEABLE sketch per window: here a fixed-edge histogram, whose merge is
+element-wise integer addition — associative, commutative, exact. The
+trade is bounded quantile error (≤ one bin width) for tier-cascade
+exactness of the sketch itself.
+
+Design for the 100-TB tier store:
+* ``hist_rollup`` builds one ``array<long>`` per (series, window) with
+  the bins as 64 independent conditional-sum aggregates — decomposable,
+  so Catalyst's map-side partial agg absorbs mega-series skew exactly
+  like the plain tier stats (operators.rollup), and there is no explode
+  (a bins× fan-out shuffle would multiply the exchange by 64).
+* ``hist_cascade`` re-aggregates a finer tier to a coarser window by
+  per-bin sums — same shape, same partial-agg properties; bit-exact
+  merge (tested: cascade(1m)->1h == direct 1h).
+* ``hist_quantile`` turns a histogram column into a quantile estimate
+  with a single JVM ``aggregate`` fold (no UDF): rank = ceil(q·total),
+  answer = upper edge of the first bin whose cumulative count reaches
+  the rank. All arithmetic is integer-derived with one exact
+  multiplication at the end (edges chosen so step is a power of two),
+  so an independent SQL engine reproduces it bit-for-bit.
+
+Reference analog: the stack-average family (insar/prepare.py:258-348)
+keeps decomposable running stats per layer for exactly this reason —
+only mergeable summaries survive incremental recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from insar_spark.operators.rollup import TIERS
+from insar_spark.operators.series import KEY
+
+# fixed edges: [0, 1024) in 64 bins -> step 16.0, exact in float64
+DEFAULT_LO = 0.0
+DEFAULT_HI = 1024.0
+DEFAULT_BINS = 64
+
+
+def bin_index(
+    value_col: str, lo: float = DEFAULT_LO, hi: float = DEFAULT_HI,
+    bins: int = DEFAULT_BINS,
+) -> Column:
+    """Clamped fixed-width bin index (out-of-range mass lands in the edge
+    bins — the sketch never drops rows, so counts stay exact)."""
+    step = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step)).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+
+def hist_rollup(
+    df: DataFrame, tier: str = "1m", value_col: str = "v",
+    ts_col: str = "ts", lo: float = DEFAULT_LO, hi: float = DEFAULT_HI,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """(conv_id, window_start, hist array<long>, n) — tier-0 sketch.
+
+    One shuffle on (conv_id, window); each bin is its own conditional-sum
+    aggregate, so the whole histogram participates in map-side partial
+    aggregation (no explode, no bins× shuffle fan-out)."""
+    unit = TIERS[tier]
+    b = bin_index(value_col, lo, hi, bins)
+    base = df.select(
+        KEY,
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        b.alias("_b"),
+    )
+    aggs = [
+        F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
+        for i in range(bins)
+    ]
+    rolled = base.groupBy(KEY, "window_start").agg(*aggs)
+    return rolled.select(
+        KEY,
+        "window_start",
+        F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
+    )
+
+
+def hist_cascade(rolled: DataFrame, tier: str, bins: int = DEFAULT_BINS) -> DataFrame:
+    """Coarsen a histogram tier: element-wise sum per bin — the exact,
+    associative merge that makes the sketch a continuous aggregate."""
+    unit = TIERS[tier]
+    aggs = [
+        F.sum(F.element_at("hist", i + 1)).alias(f"_c{i}") for i in range(bins)
+    ]
+    out = (
+        rolled.groupBy(
+            KEY, F.date_trunc(unit, F.col("window_start")).alias("window_start")
+        )
+        .agg(*aggs)
+    )
+    return out.select(
+        KEY,
+        "window_start",
+        F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
+    )
+
+
+def hist_quantile(
+    hist_col: str | Column, q: float, lo: float = DEFAULT_LO,
+    hi: float = DEFAULT_HI, bins: int = DEFAULT_BINS,
+) -> Column:
+    """Quantile estimate from a histogram column — pure JVM fold.
+
+    rank = ceil(q * total); the estimate is the UPPER edge of the first
+    bin whose cumulative count reaches the rank (a deterministic,
+    SQL-reproducible convention; error ≤ one bin width by construction).
+    Empty histograms yield NULL."""
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    step = (hi - lo) / bins
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    rank = F.ceil(total.cast("double") * F.lit(float(q))).cast("long")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("ans"),
+        F.lit(0).alias("i"),
+    )
+    folded = F.aggregate(
+        h,
+        zero,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when((acc["ans"] < 0) & (acc["cum"] + x >= rank), acc["i"])
+            .otherwise(acc["ans"])
+            .alias("ans"),
+            (acc["i"] + 1).alias("i"),
+        ),
+    )
+    idx = folded["ans"]
+    return F.when(
+        total > 0, F.lit(lo) + (idx + 1).cast("double") * F.lit(step)
+    )

@@ -81,3 +81,69 @@ def test_rollup_insensitive_to_input_order(spark):
     ra = _sorted(rollup_turns(a, "1m").toPandas())
     rb = _sorted(rollup_turns(b, "1m").toPandas())
     pd.testing.assert_frame_equal(ra, rb, check_exact=True)
+
+
+def test_hist_sketch_cascade_is_exact_and_quantile_bounded(spark, transcripts):
+    """The histogram sketch is a true continuous aggregate: cascading the
+    1m tier to 1h is bit-equal to building 1h directly (element-wise
+    integer merge), and the quantile estimate is within one bin width of
+    the exact percentile."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.series import with_text_len
+    from insar_spark.operators.sketch import (
+        DEFAULT_BINS,
+        DEFAULT_HI,
+        DEFAULT_LO,
+        hist_cascade,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    df = with_text_len(transcripts).select(
+        "conv_id", "ts", F.col("text_len").alias("v")
+    )
+    h1m = hist_rollup(df, "1m", value_col="v")
+    via_cascade = (
+        hist_cascade(h1m, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        hist_rollup(df, "1h", value_col="v")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(via_cascade) == len(direct) > 0
+    for a, b in zip(via_cascade["hist"], direct["hist"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # quantile error bound: |estimate - exact| <= bin width
+    step = (DEFAULT_HI - DEFAULT_LO) / DEFAULT_BINS
+    est = (
+        hist_cascade(h1m, "1h")
+        .select("conv_id", "window_start", hist_quantile("hist", 0.95).alias("e"))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # the sketch's guarantee is vs the NEAREST-RANK statistic (rank =
+    # ceil(q*n)), the same convention the fold uses — not vs interpolated
+    # percentiles, which can sit a gap below the rank value
+    raw = df.select(
+        "conv_id", F.date_trunc("hour", "ts").alias("window_start"), "v"
+    ).toPandas()
+    exact = (
+        raw.groupby(["conv_id", "window_start"])["v"]
+        .apply(lambda s: np.sort(s.to_numpy())[int(np.ceil(0.95 * len(s))) - 1])
+        .reset_index(name="x")
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(est) == len(exact)
+    err = est["e"].to_numpy() - exact["x"].to_numpy()
+    assert (err >= 0).all() and (err <= step).all()  # upper edge of the rank's bin
