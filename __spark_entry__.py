@@ -1286,6 +1286,40 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token windows, 8-token overlap): the
+    standard pretraining preprocessing step, pure JVM (split + sequence +
+    slice + array_join, zero shuffles). The oracle replays the identical
+    stride arithmetic in SQL — chunk_idx falls out as start // stride."""
+    from insar_spark.operators.textstats import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+_SQL_DOC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, t, n,
+         (greatest(n - 9, 0) // 24) * 24 AS last
+  FROM d
+), x AS (
+  SELECT doc_id, t, n, unnest(range(0, last + 1, 24)) AS st FROM s
+)
+SELECT doc_id, st // 24 AS chunk_idx,
+       least(n - st, 32)::BIGINT AS n_tokens,
+       array_to_string(t[st + 1 : st + 32], ' ') AS chunk_text
+FROM x
+"""
+
+
 def q_dedup_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup candidates (docs sharing >= 1 pick).
     Oracle recomputes the fingerprints independently in DuckDB from the
@@ -2195,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_store_topk": q_sim_lsh_store_topk,
         "w7_gapfill_spline_n2": q_w7_gapfill_spline_n2,
         "hist_p95_1h": q_hist_p95_1h,
+        "doc_chunks": q_doc_chunks,
         # -- r2-confirmed queries kept in-window (flagship path + every
         #    query whose implementation changes this round) ----------------
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2322,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
         "w7_gapfill_spline": _SQL_W7_SPLINE,
         "w7_gapfill_spline_n2": _SQL_W7_SPLINE_N2,
         "hist_p95_1h": _SQL_HIST_P95,
+        "doc_chunks": _SQL_DOC_CHUNKS,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

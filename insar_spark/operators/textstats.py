@@ -164,6 +164,52 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window document chunking for training pipelines: split each
+    document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens of context). Pure JVM: one split per row, chunk starts from a
+    ``sequence``, window text re-joined with ``slice`` + ``array_join`` —
+    no UDF, fully reproducible by a SQL engine. A document shorter than
+    one window yields exactly one chunk; chunking never drops tokens
+    (every token index is covered by the stride by construction).
+
+    Returns (id, chunk_idx, n_tokens, chunk_text). At 100 TB this is a
+    narrow map-only transform (zero shuffles): the explode multiplies
+    rows, not exchanges.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # last start: the largest multiple of stride <= max(0, n - overlap - 1)
+    # (guarantees the final window reaches the last token without emitting
+    # an all-overlap tail chunk)
+    last = F.floor(F.greatest(n - F.lit(overlap + 1), F.lit(0)) / stride) * stride
+    starts = F.sequence(F.lit(0), last.cast("int"), F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.least(F.size("_t") - F.col("_s"), F.lit(chunk_tokens)).alias(
+            "n_tokens"
+        ),
+        F.array_join(
+            F.slice("_t", F.col("_s") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
 def fingerprint_candidates(
     fps: DataFrame, id_col: str = "doc_id", max_bucket: int = 512
 ) -> DataFrame:

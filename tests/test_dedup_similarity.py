@@ -362,3 +362,48 @@ def test_simhash_identical_flood_is_capped_not_quadratic(spark):
     got = simhash_near_dups(df, max_hamming=3, max_bucket=8).toPandas()
     # bounded: at most C(8,2) pairs per (chunk, sub-chunk) bucket family
     assert 0 < len(got) <= 4 * 4 * 28
+
+
+def test_chunk_documents_invariants(spark):
+    """Token-window chunking: reconstructing the stride-advanced windows
+    reproduces every token exactly once per coverage position, chunks
+    overlap by exactly `overlap` tokens, and short docs yield one chunk."""
+    import pytest
+
+    from insar_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+            (1, "a b c"),  # shorter than one window
+            (2, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=16, overlap=4)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    g0 = out[out.doc_id == 0]
+    stride = 16 - 4
+    # stitching chunks at the stride reconstructs the document exactly
+    rebuilt = g0.iloc[0]["chunk_text"].split(" ")
+    for _, row in g0.iloc[1:].iterrows():
+        toks = row["chunk_text"].split(" ")
+        assert toks[:4] == rebuilt[-4:]  # shared overlap context
+        rebuilt.extend(toks[4:])
+    assert rebuilt == [f"w{i}" for i in range(100)]
+    assert g0["chunk_idx"].tolist() == list(range(len(g0)))
+    assert (g0["n_tokens"].iloc[:-1] == 16).all()
+    # stride math: starts advance by chunk-overlap
+    assert len(g0) == (100 - 4 - 1) // stride + 1
+
+    g1 = out[out.doc_id == 1]
+    assert len(g1) == 1 and g1.iloc[0]["chunk_text"] == "a b c"
+    g2 = out[out.doc_id == 2]
+    assert len(g2) == 1 and g2.iloc[0]["n_tokens"] == 1  # [''] token
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
