@@ -1249,6 +1249,49 @@ SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.8
 """
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production crawl shape: even doc_ids are
+    the stored corpus (banded minhash index written once, ingest-time),
+    odd doc_ids are the new batch; only the new batch is hashed, stored
+    rows prune to touched buckets, and the result is the verified pairs
+    involving >= 1 new doc. Oracle: all-pairs exact Jaccard >= 0.8
+    restricted to pairs with an odd member — recall-safe for the same
+    banding reason as dedup_minhash_pairs."""
+    import tempfile
+
+    from insar_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_write,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    path = tempfile.mkdtemp(prefix="minhash_store_")
+    minhash_write(corpus, path)
+    return minhash_dedup_incremental(
+        spark, new, path, docs, threshold=0.8
+    ).select("id_a", "id_b", _r("jaccard", 6).alias("jaccard"))
+
+
+def _sql_dedup_minhash_incremental() -> str:
+    from insar_spark.functions.shared_hash import SQL_TOKENS, sql_shingles
+
+    sh = sql_shingles(SQL_TOKENS.format(text="text"), 3)
+    return f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({sh}) AS sh FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE AS i,
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS u
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard FROM p WHERE i / u >= 0.8
+"""
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups at Hamming <= 3 over 60-bit signatures. The 4x15-bit
     chunk banding is pigeonhole-COMPLETE for Hamming <= 3, and over-cap
@@ -2230,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_gapfill_spline_n2": q_w7_gapfill_spline_n2,
         "hist_p95_1h": q_hist_p95_1h,
         "doc_chunks": q_doc_chunks,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         # -- r2-confirmed queries kept in-window (flagship path + every
         #    query whose implementation changes this round) ----------------
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2358,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "w7_gapfill_spline_n2": _SQL_W7_SPLINE_N2,
         "hist_p95_1h": _SQL_HIST_P95,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "dedup_minhash_incremental": _sql_dedup_minhash_incremental(),
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

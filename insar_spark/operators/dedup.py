@@ -147,19 +147,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
-    sigs: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+def band_signatures(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs (id_a < id_b).
-
-    Shuffle profile: one explode (bands× fan-out), one groupBy on
-    (band, bucket), pairs generated inside each bucket from the collected
-    array. Distinct at the end dedups pairs found in several bands.
-    """
-    banded = sigs.select(
+    """(doc_id, band, bucket): hash each signature band to its LSH bucket
+    key — the exploded form both the in-memory and the stored paths use."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -172,10 +165,116 @@ def lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b).
+
+    Shuffle profile: one explode (bands× fan-out), one groupBy on
+    (band, bucket), pairs generated inside each bucket from the collected
+    array. Distinct at the end dedups pairs found in several bands.
+    """
+    banded = band_signatures(sigs, bands, rows_per_band)
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     return _pairs_from_buckets(grouped, max_bucket, "minhash-lsh")
+
+
+def minhash_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> None:
+    """Persist the BANDED minhash index at ingest time.
+
+    At 100 TB the expensive part of dedup is hashing the corpus (one pass
+    over every token); banding and pair-gen are cheap by comparison. The
+    ingest-time store makes signature work write-once: incremental dedup
+    of a new batch (``minhash_dedup_incremental``) and threshold re-runs
+    read (band, bucket, doc_id) instead of re-hashing the corpus. Layout:
+    partitioned by band (bounded fan-out), rows sorted by bucket within
+    files so the incremental bucket semi-join skips row groups via
+    min/max stats."""
+    banded = band_signatures(
+        minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed),
+        bands,
+        rows_per_band,
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def minhash_dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    all_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Dedup a NEW batch against the stored corpus index + itself.
+
+    The production shape of web-crawl dedup: corpus signatures are never
+    recomputed — only the new batch is hashed; stored banded rows are
+    pruned to buckets the new batch actually touches (semi-join) before
+    pair generation, so the per-batch cost is O(new) hashing +
+    O(touched buckets) join, independent of corpus hash cost. Emits
+    exactly the verified pairs that involve >= 1 new document (old-old
+    pairs were already known when the store was built)."""
+    new_banded = band_signatures(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, seed),
+        bands,
+        rows_per_band,
+    )
+    stored = spark.read.parquet(store_path).select("band", "bucket", id_col)
+    touched = new_banded.select("band", "bucket").distinct()
+    relevant_old = stored.join(touched, ["band", "bucket"], "left_semi")
+    both = relevant_old.unionByName(new_banded.select("band", "bucket", id_col))
+    grouped = both.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = _pairs_from_buckets(grouped, max_bucket, "minhash-incremental")
+    # "involves a new doc" via two LEFT joins against a tiny flag table and
+    # one filter: keeps a single pairs subtree (a union of semi-joins would
+    # duplicate the whole candidate pipeline in the plan), and an OR join
+    # condition would force a nested-loop join — these stay hash joins.
+    new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
+    a_new = new_ids.select(F.col("_nid").alias("id_a"), F.lit(True).alias("_an"))
+    b_new = new_ids.select(F.col("_nid").alias("id_b"), F.lit(True).alias("_bn"))
+    involving_new = (
+        pairs.join(a_new, "id_a", "left")
+        .join(b_new, "id_b", "left")
+        .filter(F.col("_an").isNotNull() | F.col("_bn").isNotNull())
+        .drop("_an", "_bn")
+    )
+    return jaccard_verify(
+        involving_new, all_docs, text_col, id_col, shingle_n, threshold
+    )
 
 
 def jaccard_verify(

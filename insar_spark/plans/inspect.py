@@ -33,6 +33,19 @@ class PlanAudit:
     def n_exchanges(self) -> int:
         return len(self.exchanges)
 
+    @property
+    def n_exchanges_unique(self) -> int:
+        """Exchanges after collapsing textually-identical subtrees (modulo
+        expression ids): repeated branches of a DAG (e.g. the candidate
+        pipeline referenced by both sides of a verify join) print one
+        Exchange per occurrence, but Spark's ReuseExchange executes the
+        shuffle once — this is the count that reflects runtime cost."""
+        norm = set()
+        for e in self.exchanges:
+            e = e[e.index("Exchange"):]  # drop tree-drawing prefix
+            norm.add(re.sub(r"#\d+L?|\[plan_id=\d+\]", "", e))
+        return len(norm)
+
 
 def audit(df: DataFrame) -> PlanAudit:
     plan = executed_plan(df)

@@ -407,3 +407,36 @@ def test_chunk_documents_invariants(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_minhash_incremental_equals_full_restricted(spark, tmp_path, docs_with_dups):
+    """Incremental dedup of a new batch against the stored corpus index ==
+    the full-corpus dedup restricted to pairs involving a new doc — and
+    the stored index is pruned, not re-hashed."""
+    from insar_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_write,
+    )
+
+    corpus = docs_with_dups.filter("doc_id % 2 = 0")
+    new = docs_with_dups.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "mh_store")
+    minhash_write(corpus, path)
+
+    inc = minhash_dedup_incremental(
+        spark, new, path, docs_with_dups, threshold=0.5
+    ).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(inc.id_a, inc.id_b)}
+
+    full = minhash_dedup(docs_with_dups, threshold=0.5).toPandas()
+    exp = {
+        tuple(sorted((a, b)))
+        for a, b in zip(full.id_a, full.id_b)
+        if a % 2 == 1 or b % 2 == 1
+    }
+    assert got == exp and len(got) > 0
+    # store layout: one directory per band
+    import os
+
+    assert any(f.startswith("band=") for f in os.listdir(path))
