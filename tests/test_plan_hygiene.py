@@ -1,0 +1,53 @@
+"""Physical-plan hygiene as CI: the properties PLANS.md documents,
+asserted so a regression fails a test run instead of surfacing at 100 TB.
+
+Plan-building only (no execution) — cheap enough to cover every contract
+query for the row-wise-Python ban, plus exchange/Python-stage budgets for
+representative query shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from insar_spark.plans.inspect import audit, executed_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_rowwise_python_in_any_contract_query(spark):
+    """Every graded plan must stay on the Arrow path (§2.10): a
+    BatchEvalPython node means a row-at-a-time Python UDF crept in."""
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        if "BatchEvalPython" in executed_plan(fn(spark, SF)):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    ("name", "max_unique_exchanges", "max_python_stages"),
+    [
+        ("flagship_rollup_1m", 1, 0),  # one shuffle, all JVM
+        ("w1_turn_deltas", 1, 0),  # series window only
+        ("doc_chunks", 0, 0),  # narrow map-only transform
+        ("sim_lsh_topk", 0, 0),  # JVM signatures, no shuffle
+        ("hist_p95_1h", 2, 0),  # 1m rollup + cascade
+        ("dedup_minhash_pairs", 3, 0),  # band/bucket + verify, linear
+        ("dedup_minhash_incremental", 5, 0),  # + store prune join
+        ("sbas_solve_bandwidth1", 2, 1),  # one Arrow solve stage
+    ],
+)
+def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):
+    """Unique-exchange budgets per query shape (repeated DAG branches
+    collapse — ReuseExchange executes them once). A raw-size shuffle
+    sneaking into a zero/one-shuffle plan is the regression that hurts
+    most at scale."""
+    df = entry_mod.queries()[name](spark, SF)
+    a = audit(df)
+    assert a.n_exchanges_unique <= max_unique_exchanges, (
+        name,
+        a.exchanges,
+    )
+    assert a.python_stages <= max_python_stages, name
