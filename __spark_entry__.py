@@ -16,7 +16,7 @@ outputs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-67 registered queries, 67 oracles. The driver grades the FIRST 50
+70 registered queries, 70 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–2), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable r2-driver-green
 queries rotate past position 50 (their recorded rows persist).
