@@ -113,28 +113,40 @@ def hist_quantile(
     rank = ceil(q * total); the estimate is the UPPER edge of the first
     bin whose cumulative count reaches the rank (a deterministic,
     SQL-reproducible convention; error ≤ one bin width by construction).
-    Empty histograms yield NULL."""
+    Empty histograms yield NULL.
+
+    Implementation notes, both measured: (a) the rank (itself an O(bins)
+    fold) is LET-BOUND — an expression referenced inside a higher-order
+    lambda is re-evaluated per element, which would make the scan
+    O(bins²)/row; (b) the scan's accumulator is ONE packed long
+    (cum << 6 | bins-below-rank) — a struct accumulator runs the
+    interpreted lambda ~4× slower per step than plain long arithmetic
+    (~1.6 s vs ~0.4 s per quantile over the sf0.1 1h tier's 95 k rows).
+    The packing is safe while per-window counts stay below 2^57 (10¹²
+    turns is 2^40)."""
+    from insar_spark.functions.shared_hash import let_col
+
     h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
     step = (hi - lo) / bins
+    idx_mask = (1 << 6) - 1  # bins <= 64 by construction
+
+    def body(rank: Column) -> Column:
+        folded = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: (
+                F.shiftleft(F.shiftright(acc, 6) + x, 6)
+                + (
+                    acc.bitwiseAND(F.lit(idx_mask))
+                    + F.when(F.shiftright(acc, 6) + x < rank, 1).otherwise(0)
+                ).cast("long")
+            ),
+        )
+        idx = folded.bitwiseAND(F.lit(idx_mask))
+        return F.when(
+            rank > 0, F.lit(lo) + (idx + 1).cast("double") * F.lit(step)
+        )
+
     total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
     rank = F.ceil(total.cast("double") * F.lit(float(q))).cast("long")
-    zero = F.struct(
-        F.lit(0).cast("long").alias("cum"),
-        F.lit(-1).alias("ans"),
-        F.lit(0).alias("i"),
-    )
-    folded = F.aggregate(
-        h,
-        zero,
-        lambda acc, x: F.struct(
-            (acc["cum"] + x).alias("cum"),
-            F.when((acc["ans"] < 0) & (acc["cum"] + x >= rank), acc["i"])
-            .otherwise(acc["ans"])
-            .alias("ans"),
-            (acc["i"] + 1).alias("i"),
-        ),
-    )
-    idx = folded["ans"]
-    return F.when(
-        total > 0, F.lit(lo) + (idx + 1).cast("double") * F.lit(step)
-    )
+    return let_col(rank, body)
