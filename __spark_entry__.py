@@ -2242,6 +2242,149 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ------------------------------------- repetition / gaps / shards (round 3)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: duplicate-word fraction and
+    top-bigram fraction per doc. Zero-shuffle map-only pass (the bigram
+    mode count is a sorted-array longest-run fold, no explode/groupBy)."""
+    from insar_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+# Both fractions are exact-int counts through ONE double division, so the
+# doubles are bit-identical cross-engine with no rounding (see the
+# multimodal 4dp-boundary lesson: rounding can BREAK parity, not save it).
+_SQL_REPETITION = """
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS words,
+           len(string_split(text, ' ')) AS n,
+           len(string_split(text, ' '))
+             - len(list_distinct(string_split(text, ' '))) AS n_dup
+    FROM documents
+), bg AS (
+    SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+    FROM (SELECT doc_id, words, unnest(range(1, n)) AS i FROM base)
+), top AS (
+    SELECT doc_id, max(c) AS best FROM (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    ) GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_dup * 1.0 / b.n AS dup_word_frac,
+       CASE WHEN b.n >= 2 THEN coalesce(t.best, 0) * 1.0 / (b.n - 1)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap stats per event_type: count, mean, and EXACT median
+    of per-user event spacing. The median avoids percentile-interpolation
+    ambiguity entirely: it selects the middle element(s) by row_number over
+    the sorted gaps and averages them — the same construction the oracle
+    runs, so the doubles match bit-for-bit.
+
+    Scale shape: one window over (user_id) for the lag, one window over
+    (event_type) for ranking, one broadcast join of two tiny aggregates.
+    """
+    # UTC session TZ + NTZ->TZ cast: wall-clock preserving, matches the
+    # TZ-naive DuckDB epoch_us (same pattern as sources/events.py)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    wt = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wt.orderBy("gap_us")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("cnt"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("cnt") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias(
+                "median_gap_us"
+            )
+        )
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_us"
+        ),
+    )
+    return stats.join(F.broadcast(med), "event_type")
+
+
+_SQL_EVENT_GAPS = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    QUALIFY gap_us IS NOT NULL
+), ranked AS (
+    SELECT event_type, gap_us,
+           row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM g
+), med AS (
+    SELECT event_type, sum(gap_us)::double / count(*) AS median_gap_us
+    FROM ranked
+    WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+    GROUP BY 1
+), stats AS (
+    SELECT event_type, count(*) AS n_gaps,
+           sum(gap_us)::double / count(*) AS mean_gap_us
+    FROM g GROUP BY 1
+)
+SELECT s.event_type, s.n_gaps, s.mean_gap_us, m.median_gap_us
+FROM stats s JOIN med m USING (event_type)
+"""
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard assignment audit: per-shard doc count, byte
+    mass, and id range under the deterministic h60(doc_id) mod 64 layout
+    (sources/shards.py). The write path (write_shards) is pytest-covered;
+    this query value-checks the assignment itself cross-engine."""
+    from insar_spark.sources.shards import assign_shards
+
+    d = assign_shards(load(spark, sf_dir, "documents"), n_shards=64)
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_shard_stats() -> str:
+    from insar_spark.sources.shards import sql_shard
+
+    return f"""
+SELECT {sql_shard('doc_id', 64)}::int AS shard, count(*) AS n_docs,
+       sum(n_chars) AS total_chars, min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2328,6 +2471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_mask_pair_or": q_j5_mask_pair_or,
         "f9_event_window_pairs": q_f9_event_window_pairs,
         "a11_velocity_linear": q_a11_velocity_linear,
+        # -- new post-reorder additions (local-green now; rotate into the
+        #    driver window next round) ------------------------------------
+        "text_repetition": q_text_repetition,
+        "event_gap_stats": q_event_gap_stats,
+        "shard_stats": q_shard_stats,
     }
 
 
@@ -2403,6 +2551,9 @@ def oracle_sql() -> dict[str, str]:
         "hist_p95_1h": _SQL_HIST_P95,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "dedup_minhash_incremental": _sql_dedup_minhash_incremental(),
+        "text_repetition": _SQL_REPETITION,
+        "event_gap_stats": _SQL_EVENT_GAPS,
+        "shard_stats": _sql_shard_stats(),
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

@@ -231,3 +231,57 @@ def fingerprint_candidates(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     return _pairs_from_buckets(grouped, max_bucket, "winnowing-fp")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    per-document duplicate-word fraction and top-bigram fraction — the
+    standard "drop boilerplate / degenerate repetition" pretraining filters.
+
+    Zero-shuffle by construction: both signals are pure JVM expressions
+    over the token array. The bigram mode count is computed as the longest
+    run of equal adjacent elements in the *sorted* bigram array (an
+    ``aggregate`` fold), not an explode → groupBy — at 100 TB this stays a
+    map-only pass with no exchange and no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    dup_word_frac = (n - F.size(F.array_distinct(words))).cast("double") / n
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(words, F.lit(1), n - 1),
+            F.slice(words, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    top_count = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("cur"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cur"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = (
+        F.when(n >= 2, top_count.cast("double") / (n - 1))
+        .otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )

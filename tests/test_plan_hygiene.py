@@ -37,6 +37,9 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("dedup_minhash_pairs", 3, 0),  # band/bucket + verify, linear
         ("dedup_minhash_incremental", 5, 0),  # + store prune join
         ("sbas_solve_bandwidth1", 2, 1),  # one Arrow solve stage
+        ("text_repetition", 0, 0),  # map-only fold, no explode/groupBy
+        ("event_gap_stats", 2, 0),  # user window (reused) + type window
+        ("shard_stats", 1, 0),  # one n_shards-way shuffle
     ],
 )
 def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):
