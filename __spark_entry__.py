@@ -2417,6 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_p95_1h": q_hist_p95_1h,
         "doc_chunks": q_doc_chunks,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "text_repetition": q_text_repetition,
+        "event_gap_stats": q_event_gap_stats,
+        "shard_stats": q_shard_stats,
         # -- r2-confirmed queries kept in-window (flagship path + every
         #    query whose implementation changes this round) ----------------
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2424,9 +2427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade_1d": q_rollup_cascade_1d,
         "w1_turn_deltas": q_w1_turn_deltas,
         "w2_cumsum_reconstruct": q_w2_cumsum_reconstruct,
-        "w4_reference_align": q_w4_reference_align,
-        "j1_adjacent_pairs": q_j1_adjacent_pairs,
-        "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
         "dedup_exact": q_dedup_exact,
         "sim_cosine_vs_query": q_sim_cosine_vs_query,
         "w7_gapfill_linear_1d": q_w7_gapfill_linear_1d,
@@ -2471,11 +2471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_mask_pair_or": q_j5_mask_pair_or,
         "f9_event_window_pairs": q_f9_event_window_pairs,
         "a11_velocity_linear": q_a11_velocity_linear,
-        # -- new post-reorder additions (local-green now; rotate into the
-        #    driver window next round) ------------------------------------
-        "text_repetition": q_text_repetition,
-        "event_gap_stats": q_event_gap_stats,
-        "shard_stats": q_shard_stats,
+        "w4_reference_align": q_w4_reference_align,
+        "j1_adjacent_pairs": q_j1_adjacent_pairs,
+        "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
     }
 
 
