@@ -113,3 +113,42 @@ class TestEventGapMedian:
         assert out["x"]["mean_gap_us"] == (10e6 + 20e6 + 40e6) / 3
         assert out["y"]["n_gaps"] == 2
         assert out["y"]["median_gap_us"] == 20e6
+
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# space-joined token soup, matching the documents tokenization (split on
+# a single space, no empty tokens)
+_WORD = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+_DOC = st.lists(_WORD, min_size=1, max_size=40).map(" ".join)
+
+
+def _expected_repetition(text: str) -> tuple[float, float]:
+    words = text.split(" ")
+    n = len(words)
+    dup = (n - len(set(words))) / n
+    if n < 2:
+        return dup, 0.0
+    bigrams = Counter(zip(words, words[1:]))
+    return dup, max(bigrams.values()) / (n - 1)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_repetition_fold_matches_reference_impl(spark, texts):
+    """The sorted-array longest-run fold == a plain Counter mode count,
+    for arbitrary token soups (incl. heavy repetition and 1-word docs)."""
+    rows = list(enumerate(texts))
+    out = {
+        r["doc_id"]: (r["dup_word_frac"], r["top_bigram_frac"])
+        for r in repetition_stats(_docs(spark, rows)).collect()
+    }
+    for i, text in rows:
+        assert out[i] == _expected_repetition(text), (i, text)
