@@ -1155,6 +1155,55 @@ FROM w GROUP BY conv_id, window_start
 )
 
 
+def q_hist_p95_global_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-wide percentile tier: the per-conversation 1m sketches merge
+    into ONE global histogram per hour (series key dropped), then the same
+    fold yields global p50/p95 — the dashboard query a raw-value
+    percentile could never serve from a continuous aggregate. Input is the
+    (stored, 60×-reduced) 1m tier, output is one row per hour."""
+    from insar_spark.operators.sketch import (
+        hist_merge_global,
+        hist_quantile,
+        hist_rollup,
+    )
+
+    t = events_series(spark, sf_dir)
+    h1m = hist_rollup(t, "1m", value_col="v")
+    g1h = hist_merge_global(h1m, "1h")
+    return g1h.select(
+        "window_start",
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_points"
+        ),
+        hist_quantile("hist", 0.95).alias("p95_est"),
+        hist_quantile("hist", 0.50).alias("p50_est"),
+    )
+
+
+_SQL_HIST_P95_GLOBAL = (
+    SERIES_CTE
+    + """
+, b AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         least(63, greatest(0, floor(v / 16.0)::INT)) AS bin
+  FROM t
+), c AS (
+  SELECT window_start, bin, count(*) AS cnt
+  FROM b GROUP BY 1, 2
+), w AS (
+  SELECT window_start, bin, cnt,
+         sum(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY window_start) AS total
+  FROM c
+)
+SELECT window_start, max(total)::BIGINT AS n_points,
+       0.0 + 16.0 * (min(bin) FILTER (cum >= ceil(total * 0.95)) + 1) AS p95_est,
+       0.0 + 16.0 * (min(bin) FILTER (cum >= ceil(total * 0.50)) + 1) AS p50_est
+FROM w GROUP BY window_start
+"""
+)
+
+
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla round-trip identity: compress each series (delta-of-delta ts +
     XOR values), decompress, and aggregate the decoded rows. Because the
@@ -2474,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_reference_align": q_w4_reference_align,
         "j1_adjacent_pairs": q_j1_adjacent_pairs,
         "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
+        "hist_p95_global_1h": q_hist_p95_global_1h,
     }
 
 
@@ -2552,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _SQL_REPETITION,
         "event_gap_stats": _SQL_EVENT_GAPS,
         "shard_stats": _sql_shard_stats(),
+        "hist_p95_global_1h": _SQL_HIST_P95_GLOBAL,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

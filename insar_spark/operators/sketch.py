@@ -150,3 +150,29 @@ def hist_quantile(
     total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
     rank = F.ceil(total.cast("double") * F.lit(float(q))).cast("long")
     return let_col(rank, body)
+
+
+def hist_merge_global(
+    rolled: DataFrame, tier: str, bins: int = DEFAULT_BINS
+) -> DataFrame:
+    """Merge per-series histograms into one GLOBAL sketch per window —
+    the fleet-wide dashboard percentile ("p95 across all conversations
+    this hour") built from the stored per-series tier, never from raw.
+
+    Same per-bin element-wise sums as :func:`hist_cascade`, with the
+    series key dropped from the grouping: one shuffle whose width is the
+    number of windows (tiny), map-side partials absorbing everything
+    else. At 100 TB the input is the 60×-reduced stored 1m tier and the
+    output is thousands of rows — this is why the sketch is mergeable.
+    """
+    unit = TIERS[tier]
+    aggs = [
+        F.sum(F.element_at("hist", i + 1)).alias(f"_c{i}") for i in range(bins)
+    ]
+    out = rolled.groupBy(
+        F.date_trunc(unit, F.col("window_start")).alias("window_start")
+    ).agg(*aggs)
+    return out.select(
+        "window_start",
+        F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
+    )

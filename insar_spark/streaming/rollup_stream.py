@@ -354,3 +354,43 @@ def stateful_session_metric(
             "text_len_span",
         )
     )
+
+
+def streaming_hist_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m HISTOGRAM tier over a transcript stream.
+
+    The sketch's decomposability is exactly what streaming needs: each of
+    the 64 bins is an independent conditional count, so the windowed
+    aggregation is incremental (partial per micro-batch, merged by the
+    state store) with no custom stateful operator. A streaming-built
+    sketch tier merges/cascades identically to a batch-built one
+    (stream == batch test in tests/test_streaming_skew.py), so the global
+    dashboard percentile can be served continuously from the live tier.
+    """
+    from insar_spark.operators.sketch import DEFAULT_BINS, bin_index
+
+    b = bin_index("text_len")
+    aggs = [
+        F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
+        for i in range(DEFAULT_BINS)
+    ]
+    return (
+        turns.select(
+            "conv_id",
+            "ts",
+            F.length("text").cast("double").alias("text_len"),
+        )
+        .withColumn("_b", b)
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(*aggs)
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            F.array(
+                *[F.col(f"_c{i}") for i in range(DEFAULT_BINS)]
+            ).alias("hist"),
+        )
+    )

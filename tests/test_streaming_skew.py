@@ -298,3 +298,61 @@ def test_mega_series_composed_pipeline_equals_plain(spark):
     np.testing.assert_array_equal(
         got["temporal_coherence"], exp["temporal_coherence"]
     )
+
+
+def test_streaming_hist_matches_batch_and_serves_global_p95(
+    spark, tmp_path, transcripts
+):
+    """Streaming-built 1m histogram tier == batch hist_rollup on the same
+    turns, and the merged global percentile served from the streaming tier
+    equals the batch-served one (the sketch's mergeability is what makes
+    it streamable with no custom state)."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        hist_merge_global,
+        hist_quantile,
+        hist_rollup,
+    )
+    from insar_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        streaming_hist_1m,
+    )
+
+    src = str(tmp_path / "hist_src")
+    transcripts.write.mode("overwrite").parquet(src)
+
+    stream = streaming_hist_1m(
+        read_transcript_stream(spark, src, max_files_per_trigger=None)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("h1m_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM h1m_stream")
+    batch_turns = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("text_len")
+    )
+    exp = hist_rollup(batch_turns, "1m", value_col="text_len")
+
+    g = got.toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    e = exp.toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    assert len(g) == len(e) and len(g) > 0
+    assert [list(h) for h in g["hist"]] == [list(h) for h in e["hist"]]
+
+    def p95(df):
+        return (
+            hist_merge_global(df, "1h")
+            .select("window_start", hist_quantile("hist", 0.95).alias("p95"))
+            .toPandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+
+    gp, ep = p95(got), p95(exp)
+    assert gp["p95"].tolist() == ep["p95"].tolist() and len(gp) > 0
