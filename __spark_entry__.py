@@ -2434,6 +2434,33 @@ FROM documents GROUP BY 1
 """
 
 
+def q_top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary audit: top-10 tokens by occurrence with doc
+    frequency — the corpus-composition check a pretraining mixture runs
+    per domain. Deterministic tie-break (count desc, token asc) keeps the
+    ranking reproducible cross-engine."""
+    from insar_spark.operators.textstats import token_frequencies
+
+    return token_frequencies(load(spark, sf_dir, "documents"), k=10)
+
+
+_SQL_TOP_TOKENS = """
+WITH x AS (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), per AS (
+    SELECT source, token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM x GROUP BY 1, 2
+)
+SELECT source, token, n_occurrences, n_docs,
+       cast(row_number() OVER w AS int) AS rank
+FROM per
+WINDOW w AS (PARTITION BY source ORDER BY n_occurrences DESC, token)
+QUALIFY row_number() OVER w <= 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2524,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_adjacent_pairs": q_j1_adjacent_pairs,
         "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
         "hist_p95_global_1h": q_hist_p95_global_1h,
+        "top_tokens_per_source": q_top_tokens_per_source,
     }
 
 
@@ -2603,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gap_stats": _SQL_EVENT_GAPS,
         "shard_stats": _sql_shard_stats(),
         "hist_p95_global_1h": _SQL_HIST_P95_GLOBAL,
+        "top_tokens_per_source": _SQL_TOP_TOKENS,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

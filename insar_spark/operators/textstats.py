@@ -285,3 +285,41 @@ def repetition_stats(
         dup_word_frac.alias("dup_word_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
     )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group vocabulary stats: the top-k tokens by occurrence count,
+    with document frequency — the corpus-composition audit every
+    pretraining mixture runs per source/domain.
+
+    Scale shape: explode is map-side; the (group, token) aggregation
+    shuffles once on a key space bounded by |vocab|·|groups| (both tiny
+    relative to the corpus) with map-side partial aggregation absorbing
+    the token mass; the final top-k window partitions by group only after
+    the data is already vocabulary-sized. Ties rank deterministically
+    (count desc, token asc) so results are reproducible cross-engine.
+    """
+    from pyspark.sql import Window
+
+    x = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(F.split(text_col, " ")).alias("token"),
+    )
+    per = x.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
