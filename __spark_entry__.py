@@ -2434,6 +2434,57 @@ FROM documents GROUP BY 1
 """
 
 
+def q_distinct_convs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count tier: active conversations per hour served from a
+    mergeable linear-counting bitmap (sketch.distinct_rollup) — count
+    distinct is not decomposable, the bitmap is. The Spark path builds the
+    1m tier and CASCADES to 1h (bit_or merge); the oracle computes 1h
+    directly in SQL from the same md5-60 positions, so equality proves the
+    merge is exact. Contract surface = integer bit stats (set-bit count +
+    XOR checksum over the packed words) — byte-stable cross-engine; the
+    transcendental estimate -m*ln(1-set/m) stays out of the hash gate and
+    is tolerance-tested in pytest."""
+    from insar_spark.operators.sketch import (
+        distinct_cascade,
+        distinct_rollup,
+        distinct_set_bits,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    b1m = distinct_rollup(ev, "1m")
+    b1h = distinct_cascade(b1m, "1h")
+    return b1h.select(
+        "window_start",
+        distinct_set_bits("bitmap").alias("n_set_bits"),
+        F.aggregate(
+            "bitmap", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("xor_checksum"),
+    )
+
+
+def _sql_distinct_convs() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("cast(user_id as varchar)")
+    return f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         ({h} % 1024) // 32 AS word,
+         1::BIGINT << (({h} % 1024) % 32)::INT AS mask
+  FROM events
+), w AS (
+  SELECT window_start, word, bit_or(mask) AS wv FROM b GROUP BY 1, 2
+)
+SELECT window_start, sum(bit_count(wv))::BIGINT AS n_set_bits,
+       bit_xor(wv) AS xor_checksum
+FROM w GROUP BY window_start
+"""
+
+
 def q_top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary audit: top-10 tokens by occurrence with doc
     frequency — the corpus-composition check a pretraining mixture runs
@@ -2552,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_f3_filtered_pairs": q_f1_f3_filtered_pairs,
         "hist_p95_global_1h": q_hist_p95_global_1h,
         "top_tokens_per_source": q_top_tokens_per_source,
+        "distinct_convs_1h": q_distinct_convs_1h,
     }
 
 
@@ -2632,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_stats": _sql_shard_stats(),
         "hist_p95_global_1h": _SQL_HIST_P95_GLOBAL,
         "top_tokens_per_source": _SQL_TOP_TOKENS,
+        "distinct_convs_1h": _sql_distinct_convs(),
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence

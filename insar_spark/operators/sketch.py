@@ -176,3 +176,80 @@ def hist_merge_global(
         "window_start",
         F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
     )
+
+
+# ------------------------------------------------- distinct-count bitmap
+
+DISTINCT_M = 1024  # bitmap positions; 32 packed per long => 32 words
+
+
+def distinct_rollup(
+    df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
+    ts_col: str = "ts", m: int = DISTINCT_M,
+) -> DataFrame:
+    """Mergeable distinct-count sketch per window (linear counting,
+    Whang et al. 1990): bitmap position = h60(key) mod m, packed 32 bits
+    per long so every shift stays positive and engine-independent. The
+    merge is element-wise ``bit_or`` — associative, commutative, exact —
+    so the sketch cascades through retention tiers and streams exactly
+    like the histogram sketch. ``count distinct`` itself is NOT
+    decomposable; the bitmap is, which is the whole point.
+
+    One shuffle on the window key; 32 independent ``bit_or`` aggregates
+    participate in map-side partial aggregation (mega-window skew is
+    absorbed exactly as in hist_rollup). The deterministic md5-60 hash
+    (shared_hash.py) makes the bitmap — not just the estimate —
+    bit-reproducible by the DuckDB oracle.
+    """
+    from insar_spark.functions.shared_hash import h60_col
+
+    words = m // 32
+    unit = TIERS[tier]
+    p = F.pmod(h60_col(F.col(key_col).cast("string")), F.lit(m))
+    base = df.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.floor(p / 32).cast("int").alias("_word"),
+        F.expr("cast(1 as bigint)").alias("_one"),
+        (p % 32).cast("int").alias("_bit"),
+    ).withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
+    aggs = [
+        F.coalesce(
+            F.bit_or(F.when(F.col("_word") == i, F.col("_mask"))), F.lit(0)
+        ).cast("long").alias(f"_w{i}")
+        for i in range(words)
+    ]
+    out = base.groupBy("window_start").agg(*aggs)
+    return out.select(
+        "window_start",
+        F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
+    )
+
+
+def distinct_cascade(
+    rolled: DataFrame, tier: str, m: int = DISTINCT_M
+) -> DataFrame:
+    """Coarsen a bitmap tier: element-wise bit_or per word."""
+    words = m // 32
+    unit = TIERS[tier]
+    aggs = [
+        F.bit_or(F.element_at("bitmap", i + 1)).alias(f"_w{i}")
+        for i in range(words)
+    ]
+    out = rolled.groupBy(
+        F.date_trunc(unit, F.col("window_start")).alias("window_start")
+    ).agg(*aggs)
+    return out.select(
+        "window_start",
+        F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
+    )
+
+
+def distinct_set_bits(bitmap_col: str | Column) -> Column:
+    """Number of set bitmap positions — a pure JVM fold of bit_count.
+    The linear-counting estimate is ``-m * ln(1 - set/m)``; it is left to
+    the caller (a transcendental, so the contract surface exposes the
+    integer bit count, which IS cross-engine byte-stable)."""
+    h = F.col(bitmap_col) if isinstance(bitmap_col, str) else bitmap_col
+    return F.aggregate(
+        h, F.lit(0).cast("long"), lambda a, x: a + F.bit_count(x)
+    )
