@@ -394,3 +394,46 @@ def streaming_hist_1m(
             ).alias("hist"),
         )
     )
+
+
+def streaming_distinct_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m DISTINCT-CONVERSATION bitmap tier over a stream.
+
+    Streaming count-distinct normally needs custom state (dedup buffers,
+    approx sketches); the linear-counting bitmap needs none — each of the
+    32 packed words is a plain ``bit_or`` aggregate, incremental across
+    micro-batches exactly like a sum. The streaming-built tier merges with
+    batch-built bitmaps bit-for-bit (stream == batch test), so "active
+    conversations this hour" is servable live from the same tier cascade.
+    """
+    from insar_spark.functions.shared_hash import h60_col
+    from insar_spark.operators.sketch import DISTINCT_M
+
+    words = DISTINCT_M // 32
+    p = F.pmod(h60_col(F.col("conv_id").cast("string")), F.lit(DISTINCT_M))
+    base = (
+        turns.select(
+            "ts",
+            F.floor(p / 32).cast("int").alias("_word"),
+            (p % 32).cast("int").alias("_bit"),
+        )
+        .withColumn("_one", F.expr("cast(1 as bigint)"))
+        .withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
+    )
+    aggs = [
+        F.coalesce(
+            F.bit_or(F.when(F.col("_word") == i, F.col("_mask"))), F.lit(0)
+        ).cast("long").alias(f"_w{i}")
+        for i in range(words)
+    ]
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
+        )
+    )

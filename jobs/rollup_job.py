@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> dict:
         "(<store>/_bucketed warehouse); the tier cascade then runs "
         "shuffle-free (the 100TB layout, see SCALE.md §1)",
     )
+    p.add_argument(
+        "--sketch",
+        action="store_true",
+        help="also maintain the mergeable histogram-sketch tiers "
+        "(hist_1m -> hist_1h over text_len): same TierStore commit/"
+        "resume/expiry semantics, cascade reads the STORED finer tier",
+    )
     args = p.parse_args(argv)
 
     extra = (
@@ -104,8 +111,38 @@ def main(argv: list[str] | None = None) -> dict:
         "skipped_days": len(res["skipped_days"]),
     }
 
+    if args.sketch:
+        # percentile-sketch tiers ride the same store: day-commit resume,
+        # manifest lineage, expiry — the bitmap/histogram merge being
+        # associative is what makes "cascade from storage" legal here too
+        from insar_spark.operators.sketch import hist_cascade, hist_rollup
+
+        hist_src = turns.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("text_len")
+        )
+        res = store.write_tier(
+            hist_rollup(hist_src, "1m", value_col="text_len"),
+            "hist_1m",
+            run_params=run_params,
+        )
+        metrics["tiers"]["hist_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_h1m = store.read_tier(spark, "hist_1m").drop("day")
+        res = store.write_tier(
+            hist_cascade(stored_h1m, "1h"), "hist_1h", run_params=run_params
+        )
+        metrics["tiers"]["hist_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
-        for tier in ("1m", "1h", "1d"):
+        tiers = ("1m", "1h", "1d") + (
+            ("hist_1m", "hist_1h") if args.sketch else ()
+        )
+        for tier in tiers:
             metrics["expired"][tier] = store.expire(tier, args.expire_asof)
 
     wall = time.perf_counter() - t0

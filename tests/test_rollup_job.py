@@ -46,3 +46,50 @@ def test_job_cascade_matches_direct(spark, tmp_path):
     pd.testing.assert_frame_equal(
         stored_1h[direct.columns.tolist()], direct, check_exact=True
     )
+
+
+def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
+    """--sketch maintains hist_1m/hist_1h through the same TierStore:
+    day-commit resume skips on re-run, and the STORED cascade equals a
+    direct 1h histogram of the raw turns."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import hist_rollup
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.synth import synth_transcripts
+
+    store_path = str(tmp_path / "tiers_sk")
+    argv = ["--input", "synth:60", "--store", store_path,
+            "--master", "local[4]", "--sketch"]
+    m1 = job_main(argv)
+    assert m1["tiers"]["hist_1m"]["written_days"] > 0
+    assert m1["tiers"]["hist_1h"]["written_days"] > 0
+
+    m2 = job_main(argv)
+    assert m2["tiers"]["hist_1m"]["written_days"] == 0
+    assert m2["tiers"]["hist_1h"]["written_days"] == 0
+
+    store = TierStore(store_path)
+    stored = (
+        store.read_tier(spark, "hist_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    turns = synth_transcripts(spark, n_convs=60)
+    direct = (
+        hist_rollup(
+            turns.select(
+                "conv_id", "ts",
+                F.length("text").cast("double").alias("text_len"),
+            ),
+            "1h",
+            value_col="text_len",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(stored) == len(direct) > 0
+    assert [list(h) for h in stored["hist"]] == [list(h) for h in direct["hist"]]

@@ -356,3 +356,43 @@ def test_streaming_hist_matches_batch_and_serves_global_p95(
 
     gp, ep = p95(got), p95(exp)
     assert gp["p95"].tolist() == ep["p95"].tolist() and len(gp) > 0
+
+
+def test_streaming_distinct_bitmap_matches_batch(spark, tmp_path, transcripts):
+    """Streaming-built 1m distinct bitmaps == batch distinct_rollup on the
+    same turns — streaming count-distinct with zero custom state."""
+    from insar_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        streaming_distinct_1m,
+    )
+    from insar_spark.operators.sketch import distinct_rollup
+
+    src = str(tmp_path / "distinct_src")
+    transcripts.write.mode("overwrite").parquet(src)
+
+    stream = streaming_distinct_1m(
+        read_transcript_stream(spark, src, max_files_per_trigger=None)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("d1m_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    g = (
+        spark.sql("SELECT * FROM d1m_stream")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    e = (
+        distinct_rollup(transcripts.select("conv_id", "ts"), "1m")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(g) == len(e) > 0
+    assert [list(b) for b in g["bitmap"]] == [list(b) for b in e["bitmap"]]
