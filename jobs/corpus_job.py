@@ -48,23 +48,43 @@ def _committed(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_COMMITTED"))
 
 
-def _commit(path: str) -> None:
+def _commit(path: str, rows: int | None = None) -> None:
     with open(os.path.join(path, "_COMMITTED"), "w") as f:
-        f.write(json.dumps({"ts": time.time()}))
+        f.write(json.dumps({"ts": time.time(), "rows": rows}))
+
+
+def _committed_rows(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, "_COMMITTED")) as f:
+            return json.load(f).get("rows")
+    except (OSError, ValueError):
+        return None
 
 
 def _stage(out: str, name: str, build, metrics: dict) -> str:
-    """Run one stage unless already committed; returns the output path."""
+    """Run one stage unless already committed; returns the output path.
+
+    The output row count rides an Observation on the write pass itself
+    (and is persisted in the commit marker for resumed runs) — no
+    "count the stage we just wrote" re-scan, which at 100 TB would be a
+    full extra pass per stage."""
+    from pyspark.sql import Observation
+
     path = os.path.join(out, name)
     t0 = time.perf_counter()
     if _committed(path):
-        metrics[name] = {"skipped": True}
+        metrics[name] = {"skipped": True, "rows": _committed_rows(path)}
         return path
     df = build()
-    df.write.mode("overwrite").parquet(path)
-    _commit(path)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    rows = int(obs.get["rows"])
+    _commit(path, rows)
     metrics[name] = {
         "skipped": False,
+        "rows": rows,
         "sec": round(time.perf_counter() - t0, 3),
     }
     return path
@@ -97,11 +117,17 @@ def main(argv: list[str] | None = None) -> dict:
     metrics: dict = {"job": "corpus_job", "input": args.input}
     t0 = time.perf_counter()
 
+    from pyspark.sql import Observation
+
     docs = spark.read.parquet(args.input)
 
     # -- 1. annotate + quality filter (one map-only pass over the corpus):
     # lang/quality/repetition are all zero-shuffle column expressions, so
-    # Catalyst fuses the three joins on doc_id over the same scan.
+    # Catalyst fuses the three joins on doc_id over the same scan. The
+    # input row count rides a pre-filter Observation on that same pass —
+    # never a separate scan of the corpus just to count it.
+    obs_in = Observation()
+
     def build_filtered() -> DataFrame:
         ann = (
             docs.join(lang_id(docs), "doc_id")
@@ -110,12 +136,18 @@ def main(argv: list[str] | None = None) -> dict:
         )
         # lang_score is the stopword-profile hit rate: 0 = no recognized
         # language signal (the classic "keyboard mash" junk filter)
-        return ann.where(
+        return ann.observe(obs_in, F.count(F.lit(1)).alias("rows")).where(
             (F.col("lang_score") >= args.min_lang_score)
             & (F.col("top_bigram_frac") <= args.max_top_bigram_frac)
         )
 
     filt_path = _stage(args.out, "filtered", build_filtered, metrics)
+    input_marker = os.path.join(args.out, "_input_rows.json")
+    if not metrics["filtered"]["skipped"]:
+        with open(input_marker, "w") as fh:
+            fh.write(json.dumps({"rows": int(obs_in.get["rows"])}))
+    with open(input_marker) as fh:
+        input_rows = json.load(fh)["rows"]
     filtered = spark.read.parquet(filt_path)
 
     # -- 2. exact dedup: keep the min doc_id of every identical text
@@ -167,13 +199,16 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         metrics["shards"] = {"skipped": True}
 
-    # counts at the end so resume-skipped stages still report their size
+    # counts come from the write-pass Observations (persisted in the
+    # commit markers, so resumed runs report them too) — zero re-scans
     metrics["counts"] = {
-        "input": docs.count(),
-        "filtered": filtered.count(),
-        "exact_dedup": exact.count(),
-        "near_dedup": near.count(),
-        "final": final.count(),
+        "input": input_rows,
+        "filtered": metrics["filtered"]["rows"],
+        "exact_dedup": metrics["exact_dedup"]["rows"],
+        "near_dedup": metrics["near_dedup"]["rows"],
+        "final": metrics["decontaminated"]["rows"]
+        if args.probes
+        else metrics["near_dedup"]["rows"],
     }
     metrics["wall_sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(metrics))
