@@ -148,7 +148,11 @@ FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 def q_w2_cumsum_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events_series(spark, sf_dir)
     d = S.cumulative_reconstruct(S.turn_deltas(t, "v"))
-    return d.select("conv_id", "turn_idx", _r("recon_v").alias("recon_v"))
+    # + 0.0 normalizes IEEE -0.0: a cumsum that lands on an algebraic zero
+    # can carry opposite zero signs across engines (caught at sf0.1)
+    return d.select(
+        "conv_id", "turn_idx", (_r("recon_v") + F.lit(0.0)).alias("recon_v")
+    )
 
 
 _SQL_W2 = (
@@ -161,7 +165,8 @@ _SQL_W2 = (
 )
 SELECT conv_id, turn_idx,
        round(sum(dv) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS recon_v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       + 0.0 AS recon_v
 FROM d
 """
 )
@@ -787,7 +792,7 @@ def q_sbas_solve_bandwidth1(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S.adjacent_pairs(t, "v", k=1)
     out = invert_pairs(pairs, prefilter=False)
     return out.select(
-        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+        "conv_id", F.col("date_num"), _r("phase").alias("phase")
     )
 
 
@@ -795,7 +800,7 @@ _SQL_SBAS_BW1 = (
     SERIES_CTE
     + """
 SELECT conv_id,
-       round(epoch_us(ts) / 86400000000.0, 6) AS date_num,
+       epoch_us(ts) / 1000000.0 / 86400.0 AS date_num,
        round(v - first_value(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS phase
 FROM t
@@ -2055,7 +2060,7 @@ def q_a9_l1_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S2.adjacent_pairs(t, "v", k=1)
     out = invert_pairs(pairs, prefilter=False, l1=True)
     return out.select(
-        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+        "conv_id", F.col("date_num"), _r("phase").alias("phase")
     )
 
 
@@ -2103,7 +2108,7 @@ def q_sbas_solve_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S2.all_pairs(t, "v", max_gap_turns=4)
     out = invert_pairs(pairs, prefilter=False)
     return out.select(
-        "conv_id", _r("date_num").alias("date_num"), _r("phase", 5).alias("phase")
+        "conv_id", F.col("date_num"), _r("phase", 5).alias("phase")
     )
 
 
@@ -2111,7 +2116,7 @@ _SQL_SBAS_ALLPAIRS = (
     SERIES_CTE
     + """
 SELECT conv_id,
-       round(epoch_us(ts) / 86400000000.0, 6) AS date_num,
+       epoch_us(ts) / 1000000.0 / 86400.0 AS date_num,
        round(v - first_value(v) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS phase
 FROM t WHERE cast(conv_id AS int) < 25
@@ -2131,7 +2136,7 @@ def q_sbas_solve_from_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = compress_series(t.select("conv_id", "ts", "v"))
     out = invert_blobs(blobs)
     return out.select(
-        "conv_id", _r("date_num").alias("date_num"), _r("phase").alias("phase")
+        "conv_id", F.col("date_num"), _r("phase").alias("phase")
     )
 
 
@@ -2148,7 +2153,7 @@ def q_a8_weighted_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = invert_pairs(pairs, weight_col="w", prefilter=False)
     return out.select(
-        "conv_id", _r("date_num").alias("date_num"), _r("phase", 5).alias("phase")
+        "conv_id", F.col("date_num"), _r("phase", 5).alias("phase")
     )
 
 
