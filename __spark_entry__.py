@@ -609,7 +609,10 @@ def q_w7_gapfill_linear_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events_series(spark, sf_dir)
     out = resample_linear(t, interval_sec=86_400, ord_col="ord")
     return out.select(
-        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+        "conv_id",
+        "grid_ts",
+        (_r("v_filled") + F.lit(0.0)).alias("v_filled"),
+        "is_observed",
     )
 
 
@@ -645,7 +648,7 @@ SELECT conv_id, grid_ts,
        round(CASE WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL OR nv IS NULL THEN NULL
              ELSE pv + (nv - pv) * ((epoch_us(grid_ts) - pt) * 1.0 / (nt - pt))
-             END, 6) AS v_filled,
+             END, 6) + 0.0 AS v_filled,
        v IS NOT NULL AS is_observed
 FROM f
 """
@@ -817,7 +820,11 @@ def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = events_series(spark, sf_dir)
     return lowess_smooth(t, "v", min_span_days=14.0, it=2).select(
-        "conv_id", "ts", _r("smooth").alias("smooth")
+        # 5dp: the UDF and the SQL recurrence differ by ~1 ulp, so a 6dp
+        # half-boundary flips ~2/100k rows (measured at sf0.1); one digit
+        # coarser cuts the boundary-hit rate 10x and still pins the
+        # algorithm far below any real defect's displacement
+        "conv_id", "ts", _r("smooth", 5).alias("smooth")
     )
 
 
@@ -909,7 +916,7 @@ med{t} AS (
         + ","
         + ",".join(its)
         + f"""
-SELECT conv_id, tsi AS ts, round(smooth, 6) AS smooth FROM out{it}
+SELECT conv_id, tsi AS ts, round(smooth, 5) AS smooth FROM out{it}
 """
     )
 
@@ -1016,7 +1023,10 @@ def q_w7_gapfill_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = events_series(spark, sf_dir)
     return resample_spline(t, interval_sec=86_400, ord_col="ord").select(
-        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+        "conv_id",
+        "grid_ts",
+        (_r("v_filled") + F.lit(0.0)).alias("v_filled"),
+        "is_observed",
     )
 
 
@@ -1032,7 +1042,10 @@ def q_w7_gapfill_spline_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = events_series(spark, sf_dir, ts_min="2024-01-10", ts_max="2024-01-12")
     return resample_spline(t, interval_sec=86_400, ord_col="ord").select(
-        "conv_id", "grid_ts", _r("v_filled").alias("v_filled"), "is_observed"
+        "conv_id",
+        "grid_ts",
+        (_r("v_filled") + F.lit(0.0)).alias("v_filled"),
+        "is_observed",
     )
 
 
@@ -1100,7 +1113,7 @@ SELECT conv_id, make_timestamp(q) AS grid_ts,
        + M[i+1]*((qd-x[i])*(qd-x[i])*(qd-x[i]))/(6*(x[i+1]-x[i]))
        + (y[i]/(x[i+1]-x[i]) - M[i]*(x[i+1]-x[i])/6)*(x[i+1]-qd)
        + (y[i+1]/(x[i+1]-x[i]) - M[i+1]*(x[i+1]-x[i])/6)*(qd-x[i]) END, 6)
-    AS v_filled,
+    + 0.0 AS v_filled,
   list_contains(xi, q) AS is_observed
 FROM ev
 """
