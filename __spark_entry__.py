@@ -2452,6 +2452,57 @@ FROM documents GROUP BY 1
 """
 
 
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surprisal-without-logs quality signal: the fraction of a document's
+    tokens that fall outside its source's top-100 vocabulary. Composes
+    token_frequencies (vocab is tiny -> broadcast) with an exploded-token
+    semi-join; all counts are exact integers through one double division,
+    so parity is bit-exact with no rounding. Deterministic vocabulary via
+    the count-desc/token-asc tie-break."""
+    from insar_spark.operators.textstats import token_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = token_frequencies(docs, k=100).select("source", "token")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    in_vocab = toks.join(
+        F.broadcast(vocab), ["source", "token"], "left_semi"
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    return totals.join(in_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        (
+            (F.col("n_tok") - F.coalesce("n_in", F.lit(0))).cast("double")
+            / F.col("n_tok")
+        ).alias("oov_rate"),
+    )
+
+
+_SQL_DOC_OOV = """
+WITH x AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), per AS (
+    SELECT source, token, count(*) AS c FROM x GROUP BY 1, 2
+), vocab AS (
+    SELECT source, token FROM per
+    WINDOW w AS (PARTITION BY source ORDER BY c DESC, token)
+    QUALIFY row_number() OVER w <= 100
+), flagged AS (
+    SELECT x.doc_id,
+           count(*) AS n_tok,
+           count(v.token) AS n_in
+    FROM x LEFT JOIN vocab v USING (source, token)
+    GROUP BY 1
+)
+SELECT doc_id, n_tok,
+       (n_tok - n_in) * 1.0 / n_tok AS oov_rate
+FROM flagged
+"""
+
+
 def q_distinct_convs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count tier: active conversations per hour served from a
     mergeable linear-counting bitmap (sketch.distinct_rollup) — count
@@ -2622,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_p95_global_1h": q_hist_p95_global_1h,
         "top_tokens_per_source": q_top_tokens_per_source,
         "distinct_convs_1h": q_distinct_convs_1h,
+        "doc_oov_rate": q_doc_oov_rate,
     }
 
 
@@ -2703,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_p95_global_1h": _SQL_HIST_P95_GLOBAL,
         "top_tokens_per_source": _SQL_TOP_TOKENS,
         "distinct_convs_1h": _sql_distinct_convs(),
+        "doc_oov_rate": _SQL_DOC_OOV,
         # Every registered query has an oracle: the UDF paths (robust
         # lowess, cubic spline, Gorilla round-trip, ANN incl. IVF training)
         # are re-executed independently in DuckDB via unrolled recurrence
