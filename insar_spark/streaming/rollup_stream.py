@@ -120,8 +120,14 @@ def stream_to_tierstore(
     watermark: str = "10 minutes",
     tier: str = "1m",
     max_files_per_trigger: int | None = None,
+    rollup_builder=None,
 ):
     """Continuous 1m-tier ingestion committed through TierStore.
+
+    ``rollup_builder`` (default :func:`streaming_rollup_1m`) maps the raw
+    stream to the tier rows — pass :func:`streaming_hist_1m` (or any
+    builder producing (conv_id, window_start, ...) rows) to ingest a
+    sketch tier through the identical epoch-log commit machinery.
 
     ``max_files_per_trigger`` defaults to None (whole drop per
     micro-batch) — see read_transcript_stream for why a bounded trigger
@@ -136,7 +142,8 @@ def stream_to_tierstore(
     watermark; the TierStore day-commit granularity means a day is sealed
     once its last window has been finalized.
     """
-    stream = streaming_rollup_1m(
+    builder = rollup_builder if rollup_builder is not None else streaming_rollup_1m
+    stream = builder(
         read_transcript_stream(spark, src_path, max_files_per_trigger),
         watermark,
     )

@@ -45,7 +45,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_cycle(spark, store, src: str, checkpoint: str, watermark: str) -> dict:
+def run_cycle(
+    spark, store, src: str, checkpoint: str, watermark: str,
+    sketch: bool = False,
+) -> dict:
     """One quiesced ingest+seal+cascade cycle: drain available files, stop
     the query, seal watermark-finalized days from the epoch log into the
     committed 1m tier, then maintain the coarser continuous aggregates —
@@ -89,6 +92,37 @@ def run_cycle(spark, store, src: str, checkpoint: str, watermark: str) -> dict:
         seal["cascaded"] = {
             "1h": r1h["written_days"], "1d": r1d["written_days"]
         }
+
+    if sketch:
+        # the histogram-sketch tier rides the identical quiesced
+        # ingest -> epoch-log -> seal -> cascade machinery (its own
+        # checkpoint; same manifest idempotency)
+        from insar_spark.operators.sketch import hist_cascade
+        from insar_spark.streaming.rollup_stream import streaming_hist_1m
+
+        qh = stream_to_tierstore(
+            spark, src, store, checkpoint_dir=checkpoint + "_hist",
+            watermark=watermark, tier="hist_1m_log",
+            rollup_builder=streaming_hist_1m,
+        )
+        try:
+            qh.processAllAvailable()
+        finally:
+            qh.stop()
+        hseal = seal_and_compact(
+            spark, store, log_tier="hist_1m_log", sealed_tier="hist_1m",
+            watermark=watermark,
+        )
+        hseal["cascaded"] = {}
+        if hseal["written_days"]:
+            stored_h = store.read_tier(spark, "hist_1m").drop("day")
+            rh = store.write_tier(
+                hist_cascade(stored_h, "1h"), "hist_1h",
+                run_params={"source": "stream_cycle_cascade"},
+                seal_before=hseal["seal_before"],
+            )
+            hseal["cascaded"]["hist_1h"] = rh["written_days"]
+        seal["sketch"] = hseal
     return seal
 
 
@@ -109,6 +143,9 @@ def main(argv: list[str] | None = None) -> dict:
                    help="seconds between cycles in continuous mode")
     p.add_argument("--max-cycles", type=int, default=0,
                    help="stop after N cycles (0 = until interrupted)")
+    p.add_argument("--sketch", action="store_true",
+                   help="also stream-maintain the histogram-sketch tiers "
+                   "(hist_1m_log -> seal -> hist_1m -> cascade hist_1h)")
     args = p.parse_args(argv)
 
     spark = get_spark("stream_job", master=args.master)
@@ -128,7 +165,10 @@ def main(argv: list[str] | None = None) -> dict:
     while True:
         cycle += 1
         t0 = time.perf_counter()
-        seal = run_cycle(spark, store, src, args.checkpoint, args.watermark)
+        seal = run_cycle(
+            spark, store, src, args.checkpoint, args.watermark,
+            sketch=args.sketch,
+        )
         metrics = {
             "cycle": cycle,
             "seal_before": seal["seal_before"],
@@ -140,6 +180,11 @@ def main(argv: list[str] | None = None) -> dict:
             "cascaded_1d_days": len(seal["cascaded"].get("1d", [])),
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
+        if args.sketch:
+            metrics["sealed_hist_days"] = len(seal["sketch"]["written_days"])
+            metrics["cascaded_hist_1h_days"] = len(
+                seal["sketch"]["cascaded"].get("hist_1h", [])
+            )
         print(json.dumps(metrics), flush=True)
         if args.drain or (args.max_cycles and cycle >= args.max_cycles):
             return metrics

@@ -170,3 +170,50 @@ def test_stream_job_two_cycles_with_mid_arrival(spark, tmp_path):
                 g[c].to_numpy("float64"), e[c].to_numpy("float64"),
                 err_msg=f"{name}.{c}",
             )
+
+
+def test_stream_cycle_sketch_tier_seals_and_matches_batch(spark, tmp_path, transcripts):
+    """--sketch path: the histogram tier rides the same quiesced
+    ingest -> seal -> cascade cycle; sealed hist_1m days are bit-equal to
+    a batch hist_rollup over the same turns, and a second cycle on the
+    same checkpoint+store seals nothing new."""
+    from insar_spark.operators.sketch import hist_rollup
+    from jobs.stream_job import run_cycle
+
+    src = str(tmp_path / "drop_sk")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_sk"))
+    ckpt = str(tmp_path / "ckpt_sk")
+
+    s1 = run_cycle(spark, store, src, ckpt, watermark="60 minutes", sketch=True)
+    hseal = s1["sketch"]
+    assert len(hseal["written_days"]) > 0
+    assert hseal["cascaded"]["hist_1h"]
+
+    sealed = (
+        store.read_tier(spark, "hist_1m")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = hist_rollup(
+        transcripts.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("text_len")
+        ),
+        "1m",
+        value_col="text_len",
+    )
+    direct = (
+        direct.withColumn(
+            "day", F.date_format("window_start", "yyyy-MM-dd")
+        )
+        .filter(F.col("day") < hseal["seal_before"])
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(sealed) == len(direct) > 0
+    assert [list(h) for h in sealed["hist"]] == [list(h) for h in direct["hist"]]
+
+    s2 = run_cycle(spark, store, src, ckpt, watermark="60 minutes", sketch=True)
+    assert len(s2["sketch"]["written_days"]) == 0
