@@ -179,14 +179,19 @@ class TierStore:
         self._commit(tier, man)
         return {"written": n, "skipped_epoch": None}
 
-    def read_tier_log(self, spark: SparkSession, tier: str) -> DataFrame:
-        """Latest-epoch-wins view over a log-mode tier."""
+    def read_tier_log(
+        self,
+        spark: SparkSession,
+        tier: str,
+        keys: tuple[str, ...] = ("conv_id", "window_start"),
+    ) -> DataFrame:
+        """Latest-epoch-wins view over a log-mode tier. ``keys`` is the
+        window identity — (conv_id, window_start) for per-series tiers,
+        ("window_start",) for global ones (e.g. the distinct bitmap)."""
         from pyspark.sql import Window
 
         df = self.read_tier(spark, tier)
-        w = Window.partitionBy("conv_id", "window_start").orderBy(
-            F.desc("_epoch")
-        )
+        w = Window.partitionBy(*keys).orderBy(F.desc("_epoch"))
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -221,7 +226,14 @@ class TierStore:
             df = df.filter(~F.col("day").isin(sorted(done)))
 
         # per-partition metrics collected in the same pass as the write:
-        # cheap agg on the (already shuffled) rollup output
+        # cheap agg on the (already shuffled) rollup output. Global tiers
+        # (no series key, e.g. the distinct bitmap) report n_series=1.
+        has_series = "conv_id" in df.columns
+        n_series_agg = (
+            F.approx_count_distinct("conv_id")
+            if has_series
+            else F.lit(1).cast("long")
+        )
         stats = {
             r["day"]: {
                 "rows": r["rows"],
@@ -234,7 +246,7 @@ class TierStore:
                 F.count(F.lit(1)).alias("rows"),
                 F.min("window_start").alias("w_min"),
                 F.max("window_start").alias("w_max"),
-                F.approx_count_distinct("conv_id").alias("n_series"),
+                n_series_agg.alias("n_series"),
             )
             .collect()
         }
@@ -242,10 +254,11 @@ class TierStore:
             return {"written_days": [], "skipped_days": sorted(done)}
 
         snap_id = len(man["snapshots"]) + 1
+        cluster = ["day", "conv_id"] if has_series else ["day"]
         files = self._stage_and_promote(
             lambda staging: (
-                df.repartition(files_per_partition, "day", "conv_id")
-                .sortWithinPartitions("day", "conv_id", "window_start")
+                df.repartition(files_per_partition, *cluster)
+                .sortWithinPartitions(*cluster, "window_start")
                 .write.partitionBy("day")
                 .option("compression", "zstd")
                 .parquet(staging)

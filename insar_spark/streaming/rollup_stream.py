@@ -171,6 +171,7 @@ def seal_and_compact(
     sealed_tier: str = "1m",
     watermark: str = "10 minutes",
     truncate_log: bool = True,
+    log_keys: tuple[str, ...] = ("conv_id", "window_start"),
 ) -> dict:
     """Watermark-sealed day compaction: move finalized days from the
     streaming epoch log into committed TierStore day partitions.
@@ -195,7 +196,7 @@ def seal_and_compact(
     delta = dt.timedelta(**{unit.rstrip("s") + "s": float(qty)})
 
     try:
-        log = store.read_tier_log(spark, log_tier)
+        log = store.read_tier_log(spark, log_tier, keys=log_keys)
     except ValueError:  # nothing committed to the log yet
         return {"seal_before": None, "written_days": [], "truncated": []}
     mx = log.agg(F.max("window_start").alias("m")).first()["m"]
