@@ -96,3 +96,40 @@ def test_pipeline_end_to_end_and_resume(spark, corpus_input, capsys):
         if ln.startswith("{")
     ]
     assert len(lines) == 2 and json.loads(lines[0])["counts"]["final"] == 2
+
+
+def test_stage_crash_between_write_and_marker_heals(spark, corpus_input):
+    """Crash simulation: a stage's parquet exists but its _COMMITTED
+    marker does not (death between write and commit). The re-run must
+    rebuild that stage (mode=overwrite) and produce the same final
+    corpus — no duplicates, no missing docs."""
+    import shutil
+
+    from jobs.corpus_job import main
+
+    docs_path, probes_path, out_base = corpus_input
+    out = out_base + "_crash"
+    argv = [
+        "--input", docs_path,
+        "--out", out,
+        "--probes", probes_path,
+        "--n-shards", "8",
+        "--master", "local[4]",
+    ]
+    m1 = main(argv)
+
+    # simulate the crash: drop the near_dedup marker (parquet stays) and
+    # everything downstream of it entirely
+    os.remove(os.path.join(out, "near_dedup", "_COMMITTED"))
+    shutil.rmtree(os.path.join(out, "decontaminated"))
+    shutil.rmtree(os.path.join(out, "shards"))
+
+    m2 = main(argv)
+    assert m2["filtered"]["skipped"] and m2["exact_dedup"]["skipped"]
+    assert not m2["near_dedup"]["skipped"]  # re-ran the crashed stage
+    assert m2["counts"] == m1["counts"]
+    final_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards")).collect()
+    )
+    assert final_ids == [0, 6]
