@@ -138,9 +138,31 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # global distinct-conversation bitmap tier (no series key):
+        # write_tier clusters by day only and reports n_series=1
+        from insar_spark.operators.sketch import distinct_cascade, distinct_rollup
+
+        res = store.write_tier(
+            distinct_rollup(turns.select("conv_id", "ts"), "1m"),
+            "dist_1m",
+            run_params=run_params,
+        )
+        metrics["tiers"]["dist_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_d1m = store.read_tier(spark, "dist_1m").drop("day")
+        res = store.write_tier(
+            distinct_cascade(stored_d1m, "1h"), "dist_1h", run_params=run_params
+        )
+        metrics["tiers"]["dist_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
-            ("hist_1m", "hist_1h") if args.sketch else ()
+            ("hist_1m", "hist_1h", "dist_1m", "dist_1h") if args.sketch else ()
         )
         for tier in tiers:
             metrics["expired"][tier] = store.expire(tier, args.expire_asof)

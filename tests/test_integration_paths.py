@@ -140,3 +140,23 @@ def test_lsh_store_partition_pruning(spark, tmp_path):
     )
     assert a.vec_id.tolist() == b.vec_id.tolist()
     np.testing.assert_allclose(a.cos_sim, b.cos_sim, rtol=0, atol=0)
+
+
+def test_entry_contract_schema_is_pinned(spark):
+    """The driver smoke-checks entry() for a STABLE schema across rounds —
+    pin it so a refactor cannot silently change the flagship contract."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema] == [
+        ("conv_id", "string"),
+        ("window_start", "timestamp"),
+        ("n_turns", "bigint"),
+        ("n_errors", "bigint"),
+        ("sum_v", "double"),
+        ("min_v", "double"),
+        ("max_v", "double"),
+        ("first_v", "double"),
+        ("last_v", "double"),
+    ]
+    assert df.count() > 0

@@ -64,10 +64,13 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     m1 = job_main(argv)
     assert m1["tiers"]["hist_1m"]["written_days"] > 0
     assert m1["tiers"]["hist_1h"]["written_days"] > 0
+    assert m1["tiers"]["dist_1m"]["written_days"] > 0
+    assert m1["tiers"]["dist_1h"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
     assert m2["tiers"]["hist_1h"]["written_days"] == 0
+    assert m2["tiers"]["dist_1m"]["written_days"] == 0
 
     store = TierStore(store_path)
     stored = (
