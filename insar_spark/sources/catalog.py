@@ -40,8 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # tier -> retention horizon in days (None = keep forever); the continuous-
-# aggregate pattern: fine tiers age out, coarse tiers persist
-DEFAULT_RETENTION: dict[str, int | None] = {"1m": 7, "1h": 90, "1d": None}
+# aggregate pattern: fine tiers age out, coarse tiers persist. Sketch
+# tiers age like their stats siblings.
+DEFAULT_RETENTION: dict[str, int | None] = {
+    "1m": 7, "1h": 90, "1d": None,
+    "hist_1m": 7, "hist_1h": 90,
+    "dist_1m": 7, "dist_1h": 90,
+}
 
 
 @dataclass

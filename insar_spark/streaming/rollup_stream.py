@@ -229,13 +229,14 @@ def sealed_union_view(
     store,
     log_tier: str = "1m_log",
     sealed_tier: str = "1m",
+    log_keys: tuple[str, ...] = ("conv_id", "window_start"),
 ) -> DataFrame:
     """The continuous-aggregate read path: committed sealed days plus the
     latest-epoch-wins view of the still-open log days (minus any sealed
     days not yet truncated from the log — no double counting)."""
     sealed_days = store.committed_days(sealed_tier)
     try:
-        live = store.read_tier_log(spark, log_tier).drop("day")
+        live = store.read_tier_log(spark, log_tier, keys=log_keys).drop("day")
     except ValueError:
         live = None
     try:
