@@ -60,48 +60,80 @@ def hist_rollup(
     ts_col: str = "ts", lo: float = DEFAULT_LO, hi: float = DEFAULT_HI,
     bins: int = DEFAULT_BINS,
 ) -> DataFrame:
-    """(conv_id, window_start, hist array<long>, n) — tier-0 sketch.
+    """(conv_id, window_start, hist array<long>, n_clamped_lo/hi) — tier-0
+    sketch.
 
     One shuffle on (conv_id, window); each bin is its own conditional-sum
     aggregate, so the whole histogram participates in map-side partial
-    aggregation (no explode, no bins× shuffle fan-out)."""
+    aggregation (no explode, no bins× shuffle fan-out).
+
+    ``n_clamped_lo``/``n_clamped_hi`` count the rows whose value fell
+    outside [lo, hi) and was clamped into an edge bin. They merge by
+    plain sum (exactly like a bin), so saturation stays DETECTABLE from
+    the stored tier alone at every cascade level: the "error ≤ one bin
+    width" quantile guarantee silently degrades to "error ≤ distance to
+    the clamp edge" once rank mass rides an edge bin, and a mis-sized
+    ``hi`` is otherwise baked in at ingest (see :func:`hist_saturated`).
+    """
     unit = TIERS[tier]
     b = bin_index(value_col, lo, hi, bins)
+    step = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step))
     base = df.select(
         KEY,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
         b.alias("_b"),
+        raw.alias("_raw"),
     )
     aggs = [
         F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
         for i in range(bins)
+    ] + [
+        F.count(F.when(F.col("_raw") < 0, 1)).alias("_clo"),
+        F.count(F.when(F.col("_raw") >= bins, 1)).alias("_chi"),
     ]
     rolled = base.groupBy(KEY, "window_start").agg(*aggs)
     return rolled.select(
         KEY,
         "window_start",
         F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
+        F.col("_clo").alias("n_clamped_lo"),
+        F.col("_chi").alias("n_clamped_hi"),
     )
 
 
 def hist_cascade(rolled: DataFrame, tier: str, bins: int = DEFAULT_BINS) -> DataFrame:
     """Coarsen a histogram tier: element-wise sum per bin — the exact,
-    associative merge that makes the sketch a continuous aggregate."""
+    associative merge that makes the sketch a continuous aggregate. Clamp
+    counters (when present in the stored tier) merge by the same sums."""
     unit = TIERS[tier]
+    clamp = "n_clamped_hi" in rolled.columns
     aggs = [
         F.sum(F.element_at("hist", i + 1)).alias(f"_c{i}") for i in range(bins)
     ]
+    if clamp:
+        aggs += [
+            F.sum("n_clamped_lo").alias("_clo"),
+            F.sum("n_clamped_hi").alias("_chi"),
+        ]
     out = (
         rolled.groupBy(
             KEY, F.date_trunc(unit, F.col("window_start")).alias("window_start")
         )
         .agg(*aggs)
     )
-    return out.select(
-        KEY,
-        "window_start",
+    cols = [
+        F.col(c) for c in (KEY if isinstance(KEY, list) else [KEY])
+    ] + [
+        F.col("window_start"),
         F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
-    )
+    ]
+    if clamp:
+        cols += [
+            F.col("_clo").alias("n_clamped_lo"),
+            F.col("_chi").alias("n_clamped_hi"),
+        ]
+    return out.select(*cols)
 
 
 def hist_quantile(
@@ -152,6 +184,40 @@ def hist_quantile(
     return let_col(rank, body)
 
 
+def hist_saturated(
+    hist_col: str | Column, q: float, lo: float = DEFAULT_LO,
+    hi: float = DEFAULT_HI, bins: int = DEFAULT_BINS,
+    clamped_lo_col: str | Column = "n_clamped_lo",
+    clamped_hi_col: str | Column = "n_clamped_hi",
+) -> Column:
+    """True when the q-quantile estimate rides a CLAMP edge — i.e. the
+    returned value's "error ≤ one bin width" guarantee has silently
+    degraded because out-of-range mass was clamped into the edge bin the
+    rank landed in. Detectable from the stored tier alone (the clamp
+    counters merge through every cascade level), so a mis-sized ``hi``
+    baked in at ingest is visible at read time instead of lying.
+
+    hi-side: the estimate equals ``hi`` (rank reached only in the last
+    bin) while ``n_clamped_hi > 0``. lo-side: the estimate equals
+    ``lo + step`` (rank satisfied inside bin 0) while ``n_clamped_lo > 0``.
+    """
+    clo = (
+        F.col(clamped_lo_col)
+        if isinstance(clamped_lo_col, str)
+        else clamped_lo_col
+    )
+    chi = (
+        F.col(clamped_hi_col)
+        if isinstance(clamped_hi_col, str)
+        else clamped_hi_col
+    )
+    est = hist_quantile(hist_col, q, lo, hi, bins)
+    step = (hi - lo) / bins
+    rides_hi = (est == F.lit(hi)) & (chi > 0)
+    rides_lo = (est == F.lit(lo + step)) & (clo > 0)
+    return F.coalesce(rides_hi | rides_lo, F.lit(False))
+
+
 def hist_merge_global(
     rolled: DataFrame, tier: str, bins: int = DEFAULT_BINS
 ) -> DataFrame:
@@ -166,16 +232,28 @@ def hist_merge_global(
     output is thousands of rows — this is why the sketch is mergeable.
     """
     unit = TIERS[tier]
+    clamp = "n_clamped_hi" in rolled.columns
     aggs = [
         F.sum(F.element_at("hist", i + 1)).alias(f"_c{i}") for i in range(bins)
     ]
+    if clamp:
+        aggs += [
+            F.sum("n_clamped_lo").alias("_clo"),
+            F.sum("n_clamped_hi").alias("_chi"),
+        ]
     out = rolled.groupBy(
         F.date_trunc(unit, F.col("window_start")).alias("window_start")
     ).agg(*aggs)
-    return out.select(
-        "window_start",
+    cols = [
+        F.col("window_start"),
         F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
-    )
+    ]
+    if clamp:
+        cols += [
+            F.col("_clo").alias("n_clamped_lo"),
+            F.col("_chi").alias("n_clamped_hi"),
+        ]
+    return out.select(*cols)
 
 
 # ------------------------------------------------- distinct-count bitmap

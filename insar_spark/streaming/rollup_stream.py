@@ -378,12 +378,24 @@ def streaming_hist_1m(
     (stream == batch test in tests/test_streaming_skew.py), so the global
     dashboard percentile can be served continuously from the live tier.
     """
-    from insar_spark.operators.sketch import DEFAULT_BINS, bin_index
+    from insar_spark.operators.sketch import (
+        DEFAULT_BINS,
+        DEFAULT_HI,
+        DEFAULT_LO,
+        bin_index,
+    )
 
     b = bin_index("text_len")
+    step = (DEFAULT_HI - DEFAULT_LO) / DEFAULT_BINS
+    raw = F.floor((F.col("text_len") - F.lit(DEFAULT_LO)) / F.lit(step))
     aggs = [
         F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
         for i in range(DEFAULT_BINS)
+    ] + [
+        # clamp counters: merge like bins, keep saturation detectable
+        # from the streamed tier exactly as from the batch-built one
+        F.count(F.when(F.col("_raw") < 0, 1)).alias("_clo"),
+        F.count(F.when(F.col("_raw") >= DEFAULT_BINS, 1)).alias("_chi"),
     ]
     return (
         turns.select(
@@ -392,6 +404,7 @@ def streaming_hist_1m(
             F.length("text").cast("double").alias("text_len"),
         )
         .withColumn("_b", b)
+        .withColumn("_raw", raw)
         .withWatermark("ts", watermark)
         .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
         .agg(*aggs)
@@ -401,6 +414,8 @@ def streaming_hist_1m(
             F.array(
                 *[F.col(f"_c{i}") for i in range(DEFAULT_BINS)]
             ).alias("hist"),
+            F.col("_clo").alias("n_clamped_lo"),
+            F.col("_chi").alias("n_clamped_hi"),
         )
     )
 

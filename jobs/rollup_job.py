@@ -115,15 +115,30 @@ def main(argv: list[str] | None = None) -> dict:
         # percentile-sketch tiers ride the same store: day-commit resume,
         # manifest lineage, expiry — the bitmap/histogram merge being
         # associative is what makes "cascade from storage" legal here too
-        from insar_spark.operators.sketch import hist_cascade, hist_rollup
+        from insar_spark.operators.sketch import (
+            DEFAULT_BINS,
+            DEFAULT_HI,
+            DEFAULT_LO,
+            hist_cascade,
+            hist_rollup,
+        )
 
+        # bin edges ride the tier manifest: a reader can tell what range
+        # the stored sketch was built for (and, with the n_clamped_*
+        # columns, whether that range saturated) without re-scanning raw
+        hist_params = {
+            **run_params,
+            "hist_lo": DEFAULT_LO,
+            "hist_hi": DEFAULT_HI,
+            "hist_bins": DEFAULT_BINS,
+        }
         hist_src = turns.select(
             "conv_id", "ts", F.length("text").cast("double").alias("text_len")
         )
         res = store.write_tier(
             hist_rollup(hist_src, "1m", value_col="text_len"),
             "hist_1m",
-            run_params=run_params,
+            run_params=hist_params,
         )
         metrics["tiers"]["hist_1m"] = {
             "written_days": len(res["written_days"]),
@@ -131,7 +146,7 @@ def main(argv: list[str] | None = None) -> dict:
         }
         stored_h1m = store.read_tier(spark, "hist_1m").drop("day")
         res = store.write_tier(
-            hist_cascade(stored_h1m, "1h"), "hist_1h", run_params=run_params
+            hist_cascade(stored_h1m, "1h"), "hist_1h", run_params=hist_params
         )
         metrics["tiers"]["hist_1h"] = {
             "written_days": len(res["written_days"]),

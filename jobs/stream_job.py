@@ -97,7 +97,12 @@ def run_cycle(
         # the histogram-sketch tier rides the identical quiesced
         # ingest -> epoch-log -> seal -> cascade machinery (its own
         # checkpoint; same manifest idempotency)
-        from insar_spark.operators.sketch import hist_cascade
+        from insar_spark.operators.sketch import (
+            DEFAULT_BINS,
+            DEFAULT_HI,
+            DEFAULT_LO,
+            hist_cascade,
+        )
         from insar_spark.streaming.rollup_stream import streaming_hist_1m
 
         qh = stream_to_tierstore(
@@ -118,7 +123,12 @@ def run_cycle(
             stored_h = store.read_tier(spark, "hist_1m").drop("day")
             rh = store.write_tier(
                 hist_cascade(stored_h, "1h"), "hist_1h",
-                run_params={"source": "stream_cycle_cascade"},
+                run_params={
+                    "source": "stream_cycle_cascade",
+                    "hist_lo": DEFAULT_LO,
+                    "hist_hi": DEFAULT_HI,
+                    "hist_bins": DEFAULT_BINS,
+                },
                 seal_before=hseal["seal_before"],
             )
             hseal["cascaded"]["hist_1h"] = rh["written_days"]

@@ -195,3 +195,68 @@ def test_distinct_sketch_cascade_exact_and_estimate_bounded(spark, transcripts):
         t = n / DISTINCT_M
         se = math.sqrt(DISTINCT_M * (math.exp(t) - 1 - t)) if t > 0 else 1.0
         assert abs(estimate - n) <= max(3 * se, 2.0), (w, estimate, n)
+
+
+def test_hist_clamp_saturation_detectable_from_stored_tier(spark, tmp_path):
+    """A mis-sized `hi` is baked into the sketch at ingest; the clamp
+    counters make that detectable FROM THE STORED TIER ALONE: they merge
+    through the cascade like bins, survive the TierStore round-trip, the
+    bin edges ride the manifest, and `hist_saturated` flags exactly the
+    windows whose quantile estimate rides a clamp edge."""
+    import datetime as dt
+
+    from insar_spark.operators.sketch import (
+        hist_cascade,
+        hist_quantile,
+        hist_rollup,
+        hist_saturated,
+    )
+    from insar_spark.sources.catalog import TierStore
+
+    lo, hi, bins = 0.0, 64.0, 8
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        # conv A, one window: half the mass beyond hi (clamped high) and
+        # one value below lo -> p95 rides the hi clamp edge
+        *[("A", t0 + dt.timedelta(seconds=i), v)
+          for i, v in enumerate([5.0, 10.0, -3.0, 100.0, 200.0, 900.0])],
+        # conv B, in-range window -> clean sketch, not saturated
+        *[("B", t0 + dt.timedelta(seconds=i), v)
+          for i, v in enumerate([5.0, 10.0, 20.0, 30.0])],
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    h1m = hist_rollup(df, "1m", value_col="v", lo=lo, hi=hi, bins=bins)
+
+    got = {r["conv_id"]: r for r in h1m.collect()}
+    assert got["A"]["n_clamped_hi"] == 3 and got["A"]["n_clamped_lo"] == 1
+    assert got["B"]["n_clamped_hi"] == 0 and got["B"]["n_clamped_lo"] == 0
+    # counts stay exact: clamped mass lands in the edge bins, never drops
+    assert sum(got["A"]["hist"]) == 6 and sum(got["B"]["hist"]) == 4
+
+    # TierStore round-trip: clamp counters + manifest bin edges
+    store = TierStore(str(tmp_path / "tiers"))
+    store.write_tier(
+        h1m, "hist_1m",
+        run_params={"hist_lo": lo, "hist_hi": hi, "hist_bins": bins},
+    )
+    snap = store.manifest("hist_1m")["snapshots"][-1]["run_params"]
+    assert (snap["hist_lo"], snap["hist_hi"], snap["hist_bins"]) == (lo, hi, bins)
+    stored = store.read_tier(spark, "hist_1m").drop("day")
+    flags = {
+        r["conv_id"]: r
+        for r in stored.select(
+            "conv_id",
+            hist_quantile("hist", 0.95, lo, hi, bins).alias("p95"),
+            hist_saturated("hist", 0.95, lo, hi, bins).alias("saturated"),
+        ).collect()
+    }
+    assert flags["A"]["saturated"] is True and flags["A"]["p95"] == hi
+    assert flags["B"]["saturated"] is False and flags["B"]["p95"] < hi
+
+    # cascade merges the counters by plain sum (continuous-aggregate law)
+    casc = {
+        r["conv_id"]: r
+        for r in hist_cascade(stored, "1h", bins=bins).collect()
+    }
+    assert casc["A"]["n_clamped_hi"] == 3 and casc["A"]["n_clamped_lo"] == 1
+    assert casc["B"]["n_clamped_hi"] == 0

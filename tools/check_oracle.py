@@ -46,6 +46,24 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(exp.columns):
         return [f"columns differ: spark={sorted(got.columns)} duck={sorted(exp.columns)}"]
+    # Driver-hash trap gate (learned from the r3 shard_stats red row): the
+    # driver byte-hashes values BEFORE any dtype normalization, so an
+    # integer column on the Spark side vs a float column on the DuckDB side
+    # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64 "149174.0") hash-breaks
+    # even when every value is equal. normalize() below would mask that, so
+    # flag the dtype-kind mismatch itself.
+    for c in sorted(got.columns):
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if {gk, ek} == {"i", "f"} or {gk, ek} == {"u", "f"}:
+            side = "duck" if ek == "f" else "spark"
+            problems.append(
+                f"col {c}: DTYPE-KIND mismatch spark={got[c].dtype} "
+                f"duck={exp[c].dtype} — {side} side is float where the other "
+                f"is integer; the driver's byte-hash will break (cast the "
+                f"oracle, e.g. sum(x)::bigint)"
+            )
+    if problems:
+        return problems
     if len(got) != len(exp):
         problems.append(f"row count: spark={len(got)} duck={len(exp)}")
         return problems
