@@ -1293,6 +1293,76 @@ FROM p JOIN cl USING (window_start)
 )
 
 
+def q_lb_rank_p99_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-free rank-sketch tier (second sketch family): base-2
+    log-bucket sketch (DDSketch-style, integer-exact — msb via
+    length(bin(v)), sub-bucket via shiftright, so the sketch is
+    bit-reproducible cross-engine, unlike float log-gamma bucketing).
+    No [lo,hi) assumption, no clamp edge to saturate: relative error
+    ≤ 2^-5 everywhere, EXACT below 2^5. Doubles enter via an exact
+    power-of-two scale (×1024, floor). Tall (window, bucket, cnt) tier
+    rows merge by plain groupBy-sum; p50/p99 read off one cumsum pass."""
+    from insar_spark.operators.sketch import (
+        lb_merge_global,
+        lb_quantiles,
+        lb_rollup,
+    )
+
+    t = events_series(spark, sf_dir).withColumn(
+        "v_scaled", F.expr("cast(floor(v * 1024.0d) as bigint)")
+    )
+    s1m = lb_rollup(t, "1m", value_col="v_scaled")
+    g1h = lb_merge_global(s1m, "1h")
+    est = lb_quantiles(
+        g1h, {"p50_scaled": 0.50, "p99_scaled": 0.99}, ("window_start",)
+    )
+    return est.select(
+        "window_start",
+        "n_points",
+        (F.col("p50_scaled") / F.lit(1024.0)).alias("p50_est"),
+        (F.col("p99_scaled") / F.lit(1024.0)).alias("p99_est"),
+    )
+
+
+_SQL_LB_RANK = (
+    SERIES_CTE
+    + """
+, s AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         cast(floor(v * 1024.0) AS BIGINT) AS vi
+  FROM t
+), bkt AS (
+  SELECT window_start,
+         CASE WHEN vi < 0 THEN -1
+              WHEN vi < 32 THEN vi
+              ELSE (length(bin(vi)) - 5) * 32
+                   + (vi >> (length(bin(vi)) - 6)) - 32
+         END AS bucket,
+         count(*) AS cnt
+  FROM s GROUP BY 1, 2
+), w AS (
+  SELECT window_start, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY window_start ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY window_start) AS total
+  FROM bkt
+), p AS (
+  SELECT window_start, max(total)::BIGINT AS n_points,
+         min(bucket) FILTER (cum >= ceil(total * 0.50)) AS b50,
+         min(bucket) FILTER (cum >= ceil(total * 0.99)) AS b99
+  FROM w GROUP BY 1
+)
+SELECT window_start, n_points,
+       (CASE WHEN b50 < 32 THEN b50
+             ELSE ((33 + b50 % 32) << ((b50 // 32) - 1)) - 1 END) / 1024.0
+         AS p50_est,
+       (CASE WHEN b99 < 32 THEN b99
+             ELSE ((33 + b99 % 32) << ((b99 // 32) - 1)) - 1 END) / 1024.0
+         AS p99_est
+FROM p
+"""
+)
+
+
 def q_gorilla_compress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla round-trip identity: compress each series (delta-of-delta ts +
     XOR values), decompress, and aggregate the decoded rows. Because the
@@ -2670,8 +2740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r3's only red row: oracle fixed (sum(n_chars)::bigint — DuckDB
         #    HUGEINT sum reached the driver hash as float64) ---------------
         "shard_stats": q_shard_stats,
-        # -- new this round: clamp-saturation visibility (VERDICT r3 #3) ---
+        # -- new this round: clamp-saturation visibility (VERDICT r3 #3)
+        #    + range-free log-bucket rank sketch (VERDICT r3 stretch #6) ---
         "hist_saturation_1h": q_hist_saturation_1h,
+        "lb_rank_p99_1h": q_lb_rank_p99_1h,
         # -- r3-green, kept in-window --------------------------------------
         "c8_closure_phase": q_c8_closure_phase,
         "a8_weighted_solve": q_a8_weighted_solve,
@@ -2831,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_stats": _sql_shard_stats(),
         "hist_p95_global_1h": _SQL_HIST_P95_GLOBAL,
         "hist_saturation_1h": _SQL_HIST_SATURATION,
+        "lb_rank_p99_1h": _SQL_LB_RANK,
         "top_tokens_per_source": _SQL_TOP_TOKENS,
         "distinct_convs_1h": _sql_distinct_convs(),
         "doc_oov_rate": _SQL_DOC_OOV,

@@ -331,3 +331,182 @@ def distinct_set_bits(bitmap_col: str | Column) -> Column:
     return F.aggregate(
         h, F.lit(0).cast("long"), lambda a, x: a + F.bit_count(x)
     )
+
+
+# --------------------------------------------- log-bucket rank sketch
+#
+# The histogram sketch above trades a FIXED value range [lo, hi) for a
+# constant-width array row; out-of-range mass clamps (visibly, via the
+# n_clamped_* counters, but the quantile guarantee still degrades). This
+# second sketch family removes the range assumption entirely: buckets are
+# base-2 log buckets with LB_SUB_BITS mantissa bits (a DDSketch-style
+# relative-error sketch, Masson et al. 2019, built on powers of two), so
+# ONE static bucket function covers all of [0, 2^63) with
+#   * EXACT answers for values < 2^LB_SUB_BITS (singleton buckets), and
+#   * relative error <= 2^-LB_SUB_BITS everywhere else,
+# and it can never saturate — there is no edge to clamp into.
+#
+# Everything is INTEGER arithmetic: msb(v) = length(bin(v)) - 1 and
+# shiftright are bit-exact in both Spark and DuckDB (measured), so the
+# sketch — not just its estimates — is bit-reproducible cross-engine,
+# unlike float log-gamma bucketing whose last-ulp differences flip bucket
+# boundaries. Doubles enter via a caller-chosen power-of-two scale
+# (exponent shift: exact in IEEE754, floor deterministic).
+#
+# Representation is TALL: one row per (key, window, bucket) with a count.
+# Merge/cascade/global-merge are all plain groupBy-sum — associative,
+# exact, map-side partial-agged — and the tier never pays a wide
+# conditional-agg list or an array column. Per window the sketch holds at
+# most 64 * 2^LB_SUB_BITS rows (~2k at k=5), sparse in practice, so the
+# stored tier stays tiny at 100 TB exactly like the histogram tier.
+
+LB_SUB_BITS = 5  # 32 sub-buckets per octave -> relative error <= 3.125 %
+
+
+def lb_bucket(value_col: str | Column, sub_bits: int = LB_SUB_BITS) -> Column:
+    """Monotone integer bucket id for a nonnegative long value.
+
+    v < 2^k            -> bucket = v                     (exact region)
+    v >= 2^k, msb m    -> bucket = (m-k+1)*2^k + (v >> (m-k)) - 2^k
+    v < 0              -> bucket = -1 (underflow bucket; merges/cascades
+                          like any bucket, so negative mass stays visible
+                          instead of being dropped or silently clamped)
+
+    Contiguous and monotone in v, so a cumulative-count scan in bucket
+    order is a rank scan in value order."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("long")
+    k = sub_bits
+    cap = 1 << k
+    m = F.length(F.bin(v)) - F.lit(1)
+    shift = m - F.lit(k)
+    hi = (
+        (m - F.lit(k - 1)) * F.lit(cap)
+        + F.expr(f"shiftright(cast({_col_sql(value_col)} as bigint), "
+                 f"length(bin(cast({_col_sql(value_col)} as bigint))) - 1 - {k})")
+        - F.lit(cap)
+    )
+    return (
+        F.when(v < 0, F.lit(-1))
+        .when(v < cap, v)
+        .otherwise(hi)
+        .cast("long")
+    )
+
+
+def _col_sql(value_col: str | Column) -> str:
+    """SQL fragment for a column reference usable inside F.expr (column
+    shift amounts need the SQL form of shiftright; the Python wrapper
+    only accepts int literals)."""
+    if isinstance(value_col, str):
+        return f"`{value_col}`"
+    raise TypeError("lb_bucket needs a column NAME when v >= 2^sub_bits "
+                    "(column-shift shiftright is only reachable via SQL)")
+
+
+def lb_upper_edge(
+    bucket_col: str | Column, sub_bits: int = LB_SUB_BITS
+) -> Column:
+    """Largest value in a bucket (the quantile estimate convention —
+    deterministic, integer, SQL-reproducible).
+
+    bucket < 2^k -> bucket itself (exact region; -1 for the underflow
+    bucket, a sentinel the caller can recognize). Otherwise invert
+    lb_bucket: m = (bucket >> k) + k - 1, sub = bucket & (2^k - 1),
+    edge = (2^k + sub + 1) << (m - k) - 1."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    k = sub_bits
+    cap = 1 << k
+    name = bucket_col if isinstance(bucket_col, str) else None
+    if name is None:
+        raise TypeError("lb_upper_edge needs a column name (SQL shifts)")
+    edge = F.expr(
+        f"shiftleft(({cap} + (`{name}` % {cap})) + 1, "
+        f"cast(shiftright(`{name}`, {k}) as int) + {k} - 1 - {k}) - 1"
+    )
+    return F.when(b < cap, b).otherwise(edge).cast("long")
+
+
+def lb_rollup(
+    df: DataFrame, tier: str = "1m", value_col: str = "v",
+    ts_col: str = "ts", sub_bits: int = LB_SUB_BITS,
+) -> DataFrame:
+    """(conv_id, window_start, bucket, cnt) — tall tier-0 rank sketch.
+    One shuffle on (key, window, bucket); counts are exact."""
+    unit = TIERS[tier]
+    tmp = df.select(
+        KEY,
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    return (
+        tmp.withColumn("bucket", lb_bucket("_v", sub_bits))
+        .groupBy(KEY, "window_start", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lb_cascade(rolled: DataFrame, tier: str) -> DataFrame:
+    """Coarsen a tall sketch tier: groupBy sum — the merge IS the engine's
+    native partial-aggregated sum, nothing bespoke to maintain."""
+    unit = TIERS[tier]
+    return (
+        rolled.groupBy(
+            KEY,
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+            "bucket",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def lb_merge_global(rolled: DataFrame, tier: str) -> DataFrame:
+    """Drop the series key: fleet-wide rank sketch per window."""
+    unit = TIERS[tier]
+    return (
+        rolled.groupBy(
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+            "bucket",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def lb_quantiles(
+    rolled: DataFrame, qs: dict[str, float], group_cols: tuple[str, ...],
+    sub_bits: int = LB_SUB_BITS,
+) -> DataFrame:
+    """Quantile estimates from a tall sketch, ALL in one pass: rank =
+    ceil(q*total); answer = upper edge of the first bucket whose
+    cumulative count reaches the rank (same convention as hist_quantile).
+    One window cumsum in bucket order, then a conditional-min per
+    requested quantile — pure DataFrame ops over the (tiny) tier, no
+    second scan per quantile."""
+    from pyspark.sql import Window as W
+
+    g = list(group_cols)
+    wcum = W.partitionBy(*g).orderBy("bucket")
+    wall = W.partitionBy(*g)
+    t = (
+        rolled.withColumn("_cum", F.sum("cnt").over(wcum))
+        .withColumn("_total", F.sum("cnt").over(wall))
+    )
+    aggs = [F.max("_total").alias("n_points")]
+    for name, q in qs.items():
+        rank = F.ceil(
+            F.col("_total").cast("double") * F.lit(float(q))
+        ).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("bucket"))).alias(
+                f"_b_{name}"
+            )
+        )
+    picked = t.groupBy(*g).agg(*aggs)
+    return picked.select(
+        *g,
+        "n_points",
+        *[
+            lb_upper_edge(f"_b_{name}", sub_bits).alias(name)
+            for name in qs
+        ],
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 DEFAULT_RETENTION: dict[str, int | None] = {
     "1m": 7, "1h": 90, "1d": None,
     "hist_1m": 7, "hist_1h": 90,
+    "lb_1m": 7, "lb_1h": 90,
     "dist_1m": 7, "dist_1h": 90,
 }
 

@@ -153,6 +153,37 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # range-free log-bucket rank sketch tier (second sketch family):
+        # tall (key, window, bucket, cnt) rows, merge = groupBy sum, no
+        # [lo,hi) assumption so nothing ever clamps/saturates
+        from insar_spark.operators.sketch import (
+            LB_SUB_BITS,
+            lb_cascade,
+            lb_rollup,
+        )
+
+        lb_params = {**run_params, "lb_sub_bits": LB_SUB_BITS}
+        lb_src = turns.select(
+            "conv_id", "ts", F.length("text").cast("long").alias("text_len")
+        )
+        res = store.write_tier(
+            lb_rollup(lb_src, "1m", value_col="text_len"),
+            "lb_1m",
+            run_params=lb_params,
+        )
+        metrics["tiers"]["lb_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_lb1m = store.read_tier(spark, "lb_1m").drop("day")
+        res = store.write_tier(
+            lb_cascade(stored_lb1m, "1h"), "lb_1h", run_params=lb_params
+        )
+        metrics["tiers"]["lb_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
         # global distinct-conversation bitmap tier (no series key):
         # write_tier clusters by day only and reports n_series=1
         from insar_spark.operators.sketch import distinct_cascade, distinct_rollup
@@ -177,7 +208,9 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
-            ("hist_1m", "hist_1h", "dist_1m", "dist_1h") if args.sketch else ()
+            ("hist_1m", "hist_1h", "lb_1m", "lb_1h", "dist_1m", "dist_1h")
+            if args.sketch
+            else ()
         )
         for tier in tiers:
             metrics["expired"][tier] = store.expire(tier, args.expire_asof)

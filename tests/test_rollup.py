@@ -260,3 +260,86 @@ def test_hist_clamp_saturation_detectable_from_stored_tier(spark, tmp_path):
     }
     assert casc["A"]["n_clamped_hi"] == 3 and casc["A"]["n_clamped_lo"] == 1
     assert casc["B"]["n_clamped_hi"] == 0
+
+
+def test_lb_rank_sketch_invariants_and_cascade(spark):
+    """Range-free log-bucket rank sketch: bucket id is monotone in the
+    value, values below 2^k are EXACT (singleton buckets), the upper-edge
+    estimate bounds the value with relative error <= 2^-k, negatives stay
+    visible in the underflow bucket, and the tall tier cascades exactly
+    (groupBy-sum merge: cascade(1m)->1h == direct 1h)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        LB_SUB_BITS,
+        lb_bucket,
+        lb_cascade,
+        lb_quantiles,
+        lb_rollup,
+        lb_upper_edge,
+    )
+
+    # --- bucket/edge invariants on an adversarial value grid -----------
+    k = LB_SUB_BITS
+    grid = sorted(
+        {0, 1, (1 << k) - 1, 1 << k, (1 << k) + 1, -7}
+        | {(1 << e) + d for e in range(k, 62) for d in (-1, 0, 1)}
+        | {3 ** e for e in range(1, 39)}
+    )
+    df = spark.createDataFrame([(v,) for v in grid], "v long")
+    rows = (
+        df.select("v", lb_bucket("v").alias("b"))
+        .withColumn("edge", lb_upper_edge("b"))
+        .collect()
+    )
+    by_v = sorted((r["v"], r["b"], r["edge"]) for r in rows)
+    assert all(by_v[i][1] <= by_v[i + 1][1] for i in range(len(by_v) - 1))
+    for v, b, edge in by_v:
+        if v < 0:
+            assert b == -1 and edge == -1
+        elif v < (1 << k):
+            assert b == v and edge == v  # exact region
+        else:
+            assert v <= edge <= v + v // (1 << k) + 1
+            assert (edge - v) <= edge * 2.0 ** -k
+
+    # --- tall-tier cascade identity + quantile error bound -------------
+    t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+    vals = [(f"c{i % 7}", t0 + dt.timedelta(minutes=i % 90, seconds=i % 60),
+             float((i * 37) % 5000)) for i in range(3000)]
+    turns = spark.createDataFrame(
+        vals, "conv_id string, ts timestamp, v double"
+    ).withColumn("vi", F.col("v").cast("long"))
+    s1m = lb_rollup(turns, "1m", value_col="vi")
+    via = (
+        lb_cascade(s1m, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        lb_rollup(turns, "1h", value_col="vi")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(via) == len(direct) > 0
+    assert (via["bucket"] == direct["bucket"]).all()
+    assert (via["cnt"] == direct["cnt"]).all()
+
+    est = {
+        (r["conv_id"], r["window_start"]): r["p95"]
+        for r in lb_quantiles(
+            lb_cascade(s1m, "1h"), {"p95": 0.95}, ("conv_id", "window_start")
+        ).collect()
+    }
+    p = turns.toPandas()
+    p["window_start"] = p["ts"].dt.floor("h")
+    for (conv, w), g in p.groupby(["conv_id", "window_start"]):
+        xs = sorted(g["vi"])
+        exact = xs[-(-len(xs) * 95 // 100) - 1]  # nearest-rank ceil(q*n)
+        e = est[(conv, w)]
+        assert exact <= e, (conv, w, exact, e)
+        assert (e - exact) <= max(1, e * 2.0 ** -k), (conv, w, exact, e)

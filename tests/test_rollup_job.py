@@ -64,12 +64,16 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     m1 = job_main(argv)
     assert m1["tiers"]["hist_1m"]["written_days"] > 0
     assert m1["tiers"]["hist_1h"]["written_days"] > 0
+    assert m1["tiers"]["lb_1m"]["written_days"] > 0
+    assert m1["tiers"]["lb_1h"]["written_days"] > 0
     assert m1["tiers"]["dist_1m"]["written_days"] > 0
     assert m1["tiers"]["dist_1h"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
     assert m2["tiers"]["hist_1h"]["written_days"] == 0
+    assert m2["tiers"]["lb_1m"]["written_days"] == 0
+    assert m2["tiers"]["lb_1h"]["written_days"] == 0
     assert m2["tiers"]["dist_1m"]["written_days"] == 0
 
     store = TierStore(store_path)
@@ -96,3 +100,33 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     )
     assert len(stored) == len(direct) > 0
     assert [list(h) for h in stored["hist"]] == [list(h) for h in direct["hist"]]
+
+    # the stored log-bucket cascade equals a direct 1h sketch of the raw
+    # turns, and the manifest records the sketch's resolution
+    from insar_spark.operators.sketch import LB_SUB_BITS, lb_rollup
+
+    stored_lb = (
+        store.read_tier(spark, "lb_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    direct_lb = (
+        lb_rollup(
+            turns.select(
+                "conv_id", "ts",
+                F.length("text").cast("long").alias("text_len"),
+            ),
+            "1h",
+            value_col="text_len",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(stored_lb) == len(direct_lb) > 0
+    assert (stored_lb["bucket"] == direct_lb["bucket"]).all()
+    assert (stored_lb["cnt"] == direct_lb["cnt"]).all()
+    snap = store.manifest("lb_1m")["snapshots"][-1]["run_params"]
+    assert snap["lb_sub_bits"] == LB_SUB_BITS
