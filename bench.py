@@ -95,6 +95,9 @@ def headline_queries(spark):
             "w5_lowess_smooth",
             "sbas_solve_from_blobs",
             "hist_p95_1h",
+            # r4 addition: range-free log-bucket rank sketch (BENCH.md
+            # documents the headline-set change vs r3, as in prior rounds)
+            "lb_rank_p99_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

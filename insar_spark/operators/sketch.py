@@ -413,16 +413,21 @@ def lb_upper_edge(
     bucket < 2^k -> bucket itself (exact region; -1 for the underflow
     bucket, a sentinel the caller can recognize). Otherwise invert
     lb_bucket: m = (bucket >> k) + k - 1, sub = bucket & (2^k - 1),
-    edge = (2^k + sub + 1) << (m - k) - 1."""
+    edge = ((2^k + sub + 1) << (m-k)) - 1 — computed in the
+    overflow-free form (2^k + sub) << (m-k) + (2^(m-k) - 1), which stays
+    below 2^63 for every valid bucket (the naive form's intermediate
+    wraps for the top octave m=62 even though the true edge 2^63-1 is
+    representable; under ANSI mode that wrap is a runtime error)."""
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     k = sub_bits
     cap = 1 << k
     name = bucket_col if isinstance(bucket_col, str) else None
     if name is None:
         raise TypeError("lb_upper_edge needs a column name (SQL shifts)")
+    shift = f"(cast(shiftright(`{name}`, {k}) as int) - 1)"
     edge = F.expr(
-        f"shiftleft(({cap} + (`{name}` % {cap})) + 1, "
-        f"cast(shiftright(`{name}`, {k}) as int) + {k} - 1 - {k}) - 1"
+        f"shiftleft({cap} + (`{name}` % {cap}), {shift}) "
+        f"+ (shiftleft(cast(1 as bigint), {shift}) - 1)"
     )
     return F.when(b < cap, b).otherwise(edge).cast("long")
 

@@ -420,6 +420,37 @@ def streaming_hist_1m(
     )
 
 
+def streaming_lb_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m LOG-BUCKET rank-sketch tier over a transcript
+    stream. The tall (key, window, bucket) representation needs nothing
+    streaming-specific: the count per bucket is an ordinary incremental
+    aggregate, so the streamed tier merges/cascades bit-identically with
+    a batch-built one (stream == batch test), and — being range-free —
+    the live tier can never saturate no matter what text lengths arrive.
+    """
+    from insar_spark.operators.sketch import lb_bucket
+
+    return (
+        turns.select(
+            "conv_id",
+            "ts",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .withColumn("bucket", lb_bucket("text_len"))
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def streaming_distinct_1m(
     turns: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -133,6 +133,39 @@ def run_cycle(
             )
             hseal["cascaded"]["hist_1h"] = rh["written_days"]
         seal["sketch"] = hseal
+
+        # the log-bucket rank sketch streams through the same cycle; its
+        # tall rows need the bucket column in the epoch-log key
+        from insar_spark.operators.sketch import LB_SUB_BITS, lb_cascade
+        from insar_spark.streaming.rollup_stream import streaming_lb_1m
+
+        ql = stream_to_tierstore(
+            spark, src, store, checkpoint_dir=checkpoint + "_lb",
+            watermark=watermark, tier="lb_1m_log",
+            rollup_builder=streaming_lb_1m,
+        )
+        try:
+            ql.processAllAvailable()
+        finally:
+            ql.stop()
+        lseal = seal_and_compact(
+            spark, store, log_tier="lb_1m_log", sealed_tier="lb_1m",
+            watermark=watermark,
+            log_keys=("conv_id", "window_start", "bucket"),
+        )
+        lseal["cascaded"] = {}
+        if lseal["written_days"]:
+            stored_lb = store.read_tier(spark, "lb_1m").drop("day")
+            rl = store.write_tier(
+                lb_cascade(stored_lb, "1h"), "lb_1h",
+                run_params={
+                    "source": "stream_cycle_cascade",
+                    "lb_sub_bits": LB_SUB_BITS,
+                },
+                seal_before=lseal["seal_before"],
+            )
+            lseal["cascaded"]["lb_1h"] = rl["written_days"]
+        seal["sketch_lb"] = lseal
     return seal
 
 

@@ -284,8 +284,8 @@ def test_lb_rank_sketch_invariants_and_cascade(spark):
     # --- bucket/edge invariants on an adversarial value grid -----------
     k = LB_SUB_BITS
     grid = sorted(
-        {0, 1, (1 << k) - 1, 1 << k, (1 << k) + 1, -7}
-        | {(1 << e) + d for e in range(k, 62) for d in (-1, 0, 1)}
+        {0, 1, (1 << k) - 1, 1 << k, (1 << k) + 1, -7, (1 << 63) - 1}
+        | {(1 << e) + d for e in range(k, 63) for d in (-1, 0, 1)}
         | {3 ** e for e in range(1, 39)}
     )
     df = spark.createDataFrame([(v,) for v in grid], "v long")

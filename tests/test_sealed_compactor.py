@@ -189,6 +189,8 @@ def test_stream_cycle_sketch_tier_seals_and_matches_batch(spark, tmp_path, trans
     hseal = s1["sketch"]
     assert len(hseal["written_days"]) > 0
     assert hseal["cascaded"]["hist_1h"]
+    assert len(s1["sketch_lb"]["written_days"]) > 0
+    assert s1["sketch_lb"]["cascaded"]["lb_1h"]
 
     sealed = (
         store.read_tier(spark, "hist_1m")
@@ -217,6 +219,7 @@ def test_stream_cycle_sketch_tier_seals_and_matches_batch(spark, tmp_path, trans
 
     s2 = run_cycle(spark, store, src, ckpt, watermark="60 minutes", sketch=True)
     assert len(s2["sketch"]["written_days"]) == 0
+    assert len(s2["sketch_lb"]["written_days"]) == 0
 
 
 def test_stream_seal_global_distinct_tier(spark, tmp_path, transcripts):
@@ -268,3 +271,62 @@ def test_stream_seal_global_distinct_tier(spark, tmp_path, transcripts):
     assert [list(b) for b in sealed["bitmap"]] == [
         list(b) for b in direct["bitmap"]
     ]
+
+
+def test_stream_seal_lb_rank_tier(spark, tmp_path, transcripts):
+    """The tall log-bucket rank sketch through the same log->seal
+    machinery: streams via the generic rollup_builder with
+    (conv_id, window_start, bucket) log keys, and the sealed days are
+    bit-equal to the batch lb_rollup over the same turns."""
+    from insar_spark.operators.sketch import lb_rollup
+    from insar_spark.streaming.rollup_stream import (
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_lb_1m,
+    )
+
+    src = str(tmp_path / "drop_lb")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_lb"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_lb"),
+        watermark="60 minutes", tier="lb_1m_log",
+        rollup_builder=streaming_lb_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="lb_1m_log", sealed_tier="lb_1m",
+        watermark="60 minutes",
+        log_keys=("conv_id", "window_start", "bucket"),
+    )
+    assert len(seal["written_days"]) > 0
+
+    sealed = (
+        store.read_tier(spark, "lb_1m")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        lb_rollup(
+            transcripts.select(
+                "conv_id", "ts",
+                F.length("text").cast("long").alias("text_len"),
+            ),
+            "1m",
+            value_col="text_len",
+        )
+        .withColumn("day", F.date_format("window_start", "yyyy-MM-dd"))
+        .filter(F.col("day") < seal["seal_before"])
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(sealed) == len(direct) > 0
+    assert (sealed["bucket"].to_numpy() == direct["bucket"].to_numpy()).all()
+    assert (sealed["cnt"].to_numpy() == direct["cnt"].to_numpy()).all()
