@@ -11,8 +11,10 @@ covers the whole surface. Queries run over a deterministic
 transcript-shaped view of the ``events`` table
 (insar_spark.sources.events) and the documents/embeddings corpora.
 
-Float columns are rounded to 6 decimals on BOTH sides (4 for cosine
-outputs) and IEEE -0.0 is normalized after rounding, so the driver's
+Float columns are rounded to 6 decimals on BOTH sides (4 for cosine and
+lowess outputs — the lowess cross-engine wobble is ~2.5e-8 and DuckDB's
+parallel sums are run-order-varying, so finer boundaries flip between
+runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
@@ -820,11 +822,14 @@ def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = events_series(spark, sf_dir)
     return lowess_smooth(t, "v", min_span_days=14.0, it=2).select(
-        # 5dp: the UDF and the SQL recurrence differ by ~1 ulp, so a 6dp
-        # half-boundary flips ~2/100k rows (measured at sf0.1); one digit
-        # coarser cuts the boundary-hit rate 10x and still pins the
-        # algorithm far below any real defect's displacement
-        "conv_id", "ts", _r("smooth", 5).alias("smooth")
+        # 4dp: the Arrow UDF's numpy pairwise sums and the SQL recurrence
+        # wobble up to ~2.5e-8 (cancellation in sxx/sxy), AND DuckDB's
+        # parallel sum combines partials in run-varying order — so any
+        # boundary within the wobble is a PER-RUN lottery (measured r4:
+        # a 6dp row flipped between two sf0.1 runs of the 1pass variant).
+        # 4dp puts the boundary-hit expectation ~1e-2 over 100k rows while
+        # still pinning ~6 significant digits of a O(100) value
+        "conv_id", "ts", _r("smooth", 4).alias("smooth")
     )
 
 
@@ -916,7 +921,7 @@ med{t} AS (
         + ","
         + ",".join(its)
         + f"""
-SELECT conv_id, tsi AS ts, round(smooth, 5) AS smooth FROM out{it}
+SELECT conv_id, tsi AS ts, round(smooth, 4) AS smooth FROM out{it}
 """
     )
 
@@ -931,7 +936,10 @@ def q_w5_lowess_1pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = events_series(spark, sf_dir)
     return lowess_smooth(t, "v", min_span_days=14.0, it=0).select(
-        "conv_id", "ts", _r("smooth").alias("smooth")
+        # 4dp for the same reason as the robust variant: cross-engine sum
+        # wobble + DuckDB's run-varying parallel sum order make finer
+        # boundaries a per-run lottery (one 6dp flip measured at sf0.1)
+        "conv_id", "ts", _r("smooth", 4).alias("smooth")
     )
 
 
@@ -979,7 +987,7 @@ _SQL_W5_1PASS = (
 )
 SELECT conv_id, tsi AS ts,
        round(ym + (CASE WHEN sxx <= 1e-12 * greatest(1.0, xm * xm) THEN 0.0
-                        ELSE sxy / sxx END) * (xi - xm), 6) AS smooth
+                        ELSE sxy / sxx END) * (xi - xm), 4) AS smooth
 FROM fit2
 """
 )

@@ -106,6 +106,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so blocking operators
+    # cannot spill and a big unrolled oracle (robust lowess at sf0.1
+    # materializes ~3 windowed self-join CTEs) dies with an OOM while the
+    # Spark JVM holds its heap next door. Give it a spill dir and a cap
+    # well under the JVM's share.
+    con.execute("SET temp_directory='/tmp/duck_oracle_spill'")
+    con.execute("SET memory_limit='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
