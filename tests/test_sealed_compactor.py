@@ -330,3 +330,46 @@ def test_stream_seal_lb_rank_tier(spark, tmp_path, transcripts):
     assert len(sealed) == len(direct) > 0
     assert (sealed["bucket"].to_numpy() == direct["bucket"].to_numpy()).all()
     assert (sealed["cnt"].to_numpy() == direct["cnt"].to_numpy()).all()
+
+    # continuous-aggregate READ path: the sealed+live union view serves
+    # the fleet-wide p95 identical to a batch build over ALL turns
+    from insar_spark.operators.sketch import lb_merge_global, lb_quantiles
+    from insar_spark.streaming.rollup_stream import sealed_union_view
+
+    view = sealed_union_view(
+        spark, store, log_tier="lb_1m_log", sealed_tier="lb_1m",
+        log_keys=("conv_id", "window_start", "bucket"),
+    )
+    served = (
+        lb_quantiles(
+            lb_merge_global(view, "1h"), {"p95": 0.95}, ("window_start",)
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    batch_all = (
+        lb_quantiles(
+            lb_merge_global(
+                lb_rollup(
+                    transcripts.select(
+                        "conv_id", "ts",
+                        F.length("text").cast("long").alias("text_len"),
+                    ),
+                    "1m",
+                    value_col="text_len",
+                ),
+                "1h",
+            ),
+            {"p95": 0.95},
+            ("window_start",),
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(served) == len(batch_all) > 0
+    assert (served["p95"].to_numpy() == batch_all["p95"].to_numpy()).all()
+    assert (
+        served["n_points"].to_numpy() == batch_all["n_points"].to_numpy()
+    ).all()

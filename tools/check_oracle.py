@@ -4,7 +4,15 @@ Runs every __spark_entry__.queries() entry and its oracle_sql() twin at a
 given scale factor, compares row count, column names, and values
 (order-insensitive: columns sorted by name, rows sorted by all columns).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--runs N] [query ...]
+
+``--runs N`` (default 1) executes each DuckDB oracle N times and flags
+queries whose ORACLE output is not identical across runs — DuckDB's
+parallel aggregation combines partials in run-varying order, so a
+rounding boundary inside the cross-engine wobble makes a query a per-run
+lottery rather than deterministically green/red (measured round 4:
+a 6dp lowess row flipped between two runs of the same query on the same
+data). Use ``--runs 3`` before concluding a float mismatch is a defect.
 """
 
 from __future__ import annotations
@@ -103,8 +111,14 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    runs = 1
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     con = duckdb.connect()
     # An in-memory DuckDB has NO temp directory, so blocking operators
     # cannot spill and a big unrolled oracle (robust lowess at sf0.1
@@ -135,6 +149,19 @@ def main() -> int:
             continue
         try:
             exp = con.execute(oracles[name]).df()
+            unstable = []
+            for r in range(1, runs):
+                exp2 = con.execute(oracles[name]).df()
+                if compare(name, exp2, exp):
+                    unstable.append(r)
+            if unstable:
+                failed.append(name)
+                print(
+                    f"FAIL {name}: ORACLE UNSTABLE across runs {unstable} "
+                    f"— a rounding boundary sits inside DuckDB's "
+                    f"parallel-sum wobble; coarsen the query's rounding"
+                )
+                continue
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
