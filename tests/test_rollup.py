@@ -343,3 +343,61 @@ def test_lb_rank_sketch_invariants_and_cascade(spark):
         e = est[(conv, w)]
         assert exact <= e, (conv, w, exact, e)
         assert (e - exact) <= max(1, e * 2.0 ** -k), (conv, w, exact, e)
+
+
+def test_lb_rank_sketch_absorbs_mega_conversation(spark):
+    """Skew proof for the tall sketch: a mega conversation concentrated in
+    few windows produces identical tier rows whether it arrives alone or
+    mixed with a long tail, and the per-(key, window) row count stays
+    bounded by the bucket space (the groupBy key includes `bucket`, so
+    map-side partial aggregation absorbs the hot series exactly like the
+    stats tiers — no single reducer sees the raw mega series)."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import lb_quantiles, lb_rollup
+    from insar_spark.synth import synth_transcripts
+
+    mixed = synth_transcripts(
+        spark, n_convs=12, seed=11, mega_every=3, mega_turns=20000
+    ).select("conv_id", "ts", F.length("text").cast("long").alias("tl"))
+    rolled = lb_rollup(mixed, "1h", value_col="tl")
+
+    # bounded tier width: every (conv, window) holds at most the bucket
+    # space, regardless of how many raw turns the window absorbed
+    per_conv = rolled.groupBy("conv_id").agg(F.sum("cnt").alias("n_turns"))
+    top = per_conv.orderBy(F.desc("n_turns")).first()
+    assert top["n_turns"] >= 20000  # the mega series really is hot
+    width = rolled.groupBy("conv_id", "window_start").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    assert width.agg(F.max("n_buckets")).first()[0] <= 64 * 32  # tall bound
+
+    # isolation: the mega conv's sketch is unaffected by the tail
+    mega_id = (
+        mixed.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+    )
+    alone = lb_rollup(
+        mixed.filter(F.col("conv_id") == mega_id), "1h", value_col="tl"
+    )
+    a = (
+        alone.toPandas()
+        .sort_values(["window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    b = (
+        rolled.filter(F.col("conv_id") == mega_id)
+        .toPandas()
+        .sort_values(["window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a["bucket"].to_numpy() == b["bucket"].to_numpy()).all()
+    assert (a["cnt"].to_numpy() == b["cnt"].to_numpy()).all()
+
+    # quantile read over the hot window stays cheap and correct
+    q = lb_quantiles(
+        rolled.filter(F.col("conv_id") == mega_id),
+        {"p95": 0.95},
+        ("conv_id", "window_start"),
+    ).toPandas()
+    assert (q["p95"] >= 0).all() and len(q) > 0
