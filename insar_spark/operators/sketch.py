@@ -264,6 +264,7 @@ DISTINCT_M = 1024  # bitmap positions; 32 packed per long => 32 words
 def distinct_rollup(
     df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
     ts_col: str = "ts", m: int = DISTINCT_M,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Mergeable distinct-count sketch per window (linear counting,
     Whang et al. 1990): bitmap position = h60(key) mod m, packed 32 bits
@@ -278,13 +279,20 @@ def distinct_rollup(
     absorbed exactly as in hist_rollup). The deterministic md5-60 hash
     (shared_hash.py) makes the bitmap — not just the estimate —
     bit-reproducible by the DuckDB oracle.
+
+    ``group_col`` adds a grouping dimension: per (group, window) bitmaps
+    ("active conversations per event type per hour") instead of one
+    global bitmap per window — the KEYED form the hist/lb families
+    already have. The cascade detects the extra column and carries it.
     """
     from insar_spark.functions.shared_hash import h60_col
 
     words = m // 32
     unit = TIERS[tier]
     p = F.pmod(h60_col(F.col(key_col).cast("string")), F.lit(m))
+    group = [group_col] if group_col else []
     base = df.select(
+        *group,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
         F.floor(p / 32).cast("int").alias("_word"),
         F.expr("cast(1 as bigint)").alias("_one"),
@@ -296,27 +304,32 @@ def distinct_rollup(
         ).cast("long").alias(f"_w{i}")
         for i in range(words)
     ]
-    out = base.groupBy("window_start").agg(*aggs)
+    out = base.groupBy(*group, "window_start").agg(*aggs)
     return out.select(
+        *group,
         "window_start",
         F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
     )
 
 
 def distinct_cascade(
-    rolled: DataFrame, tier: str, m: int = DISTINCT_M
+    rolled: DataFrame, tier: str, m: int = DISTINCT_M,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """Coarsen a bitmap tier: element-wise bit_or per word."""
+    """Coarsen a bitmap tier: element-wise bit_or per word. Pass the same
+    ``group_col`` the rollup was built with to keep the keyed dimension."""
     words = m // 32
     unit = TIERS[tier]
+    group = [group_col] if group_col else []
     aggs = [
         F.bit_or(F.element_at("bitmap", i + 1)).alias(f"_w{i}")
         for i in range(words)
     ]
     out = rolled.groupBy(
-        F.date_trunc(unit, F.col("window_start")).alias("window_start")
+        *group, F.date_trunc(unit, F.col("window_start")).alias("window_start")
     ).agg(*aggs)
     return out.select(
+        *group,
         "window_start",
         F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
     )

@@ -401,3 +401,29 @@ def test_lb_rank_sketch_absorbs_mega_conversation(spark):
         ("conv_id", "window_start"),
     ).toPandas()
     assert (q["p95"] >= 0).all() and len(q) > 0
+
+
+def test_distinct_sketch_keyed_cascade_exact(spark, transcripts):
+    """KEYED bitmap tier (group_col): cascading per-(role, window) 1m
+    bitmaps to 1h is bit-identical to rolling directly at 1h, and the
+    group dimension survives the merge."""
+    from insar_spark.operators.sketch import distinct_cascade, distinct_rollup
+
+    df = transcripts.select("role", "conv_id", "ts")
+    via = (
+        distinct_cascade(
+            distinct_rollup(df, "1m", group_col="role"), "1h", group_col="role"
+        )
+        .toPandas()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        distinct_rollup(df, "1h", group_col="role")
+        .toPandas()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(via) == len(direct) > 0
+    assert (via["role"] == direct["role"]).all()
+    assert [list(b) for b in via["bitmap"]] == [list(b) for b in direct["bitmap"]]
