@@ -427,3 +427,46 @@ def test_distinct_sketch_keyed_cascade_exact(spark, transcripts):
     assert len(via) == len(direct) > 0
     assert (via["role"] == direct["role"]).all()
     assert [list(b) for b in via["bitmap"]] == [list(b) for b in direct["bitmap"]]
+
+
+def test_lb_bucket_matches_python_model_on_random_longs(spark):
+    """Model-based check of the integer bucket arithmetic: the Spark
+    expressions (length(bin(v)), shiftright/shiftleft) must agree with an
+    independent pure-Python model on random longs across the full domain —
+    this is the bit-reproducibility claim the oracle relies on, checked
+    against a third implementation."""
+    import random
+
+    from insar_spark.operators.sketch import LB_SUB_BITS, lb_bucket, lb_upper_edge
+
+    k = LB_SUB_BITS
+    cap = 1 << k
+
+    def model_bucket(v: int) -> int:
+        if v < 0:
+            return -1
+        if v < cap:
+            return v
+        m = v.bit_length() - 1
+        return (m - k + 1) * cap + (v >> (m - k)) - cap
+
+    def model_edge(b: int) -> int:
+        if b < cap:
+            return b
+        m = (b >> k) + k - 1
+        sub = b & (cap - 1)
+        return ((cap + sub + 1) << (m - k)) - 1
+
+    rng = random.Random(20260817)
+    vals = [rng.randrange(-100, 1 << (8 + rng.randrange(0, 55))) for _ in range(10000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select("v", lb_bucket("v").alias("b"))
+        .withColumn("e", lb_upper_edge("b"))
+        .collect()
+    )
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r["b"] == model_bucket(r["v"]), (r["v"], r["b"])
+        expect_e = -1 if r["b"] == -1 else model_edge(r["b"])
+        assert r["e"] == expect_e, (r["v"], r["b"], r["e"], expect_e)
