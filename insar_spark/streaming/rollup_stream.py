@@ -420,6 +420,47 @@ def streaming_hist_1m(
     )
 
 
+def streaming_distinct_by_role_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """KEYED streamed bitmap: distinct conversations per (role, minute).
+    Same zero-custom-state property as the global bitmap — each packed
+    word is an ordinary ``bit_or`` aggregate, now grouped by the role
+    dimension as well; merges bit-for-bit with batch-built keyed bitmaps.
+    """
+    from insar_spark.functions.shared_hash import h60_col
+    from insar_spark.operators.sketch import DISTINCT_M
+
+    words = DISTINCT_M // 32
+    p = F.pmod(h60_col(F.col("conv_id").cast("string")), F.lit(DISTINCT_M))
+    base = (
+        turns.select(
+            "role",
+            "ts",
+            F.floor(p / 32).cast("int").alias("_word"),
+            (p % 32).cast("int").alias("_bit"),
+        )
+        .withColumn("_one", F.expr("cast(1 as bigint)"))
+        .withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
+    )
+    aggs = [
+        F.coalesce(
+            F.bit_or(F.when(F.col("_word") == i, F.col("_mask"))), F.lit(0)
+        ).cast("long").alias(f"_w{i}")
+        for i in range(words)
+    ]
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy("role", F.window("ts", "1 minute").alias("w"))
+        .agg(*aggs)
+        .select(
+            "role",
+            F.col("w.start").alias("window_start"),
+            F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
+        )
+    )
+
+
 def streaming_lb_1m(
     turns: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

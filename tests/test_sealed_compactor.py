@@ -373,3 +373,58 @@ def test_stream_seal_lb_rank_tier(spark, tmp_path, transcripts):
     assert (
         served["n_points"].to_numpy() == batch_all["n_points"].to_numpy()
     ).all()
+
+
+def test_stream_seal_keyed_distinct_tier(spark, tmp_path, transcripts):
+    """KEYED bitmap through the log->seal machinery: per-(role, window)
+    distinct-conversation bitmaps stream with (role, window_start) log
+    keys and seal bit-equal to the batch keyed rollup."""
+    from insar_spark.operators.sketch import distinct_rollup
+    from insar_spark.streaming.rollup_stream import (
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_distinct_by_role_1m,
+    )
+
+    src = str(tmp_path / "drop_kd")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_kd"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_kd"),
+        watermark="60 minutes", tier="distr_1m_log",
+        rollup_builder=streaming_distinct_by_role_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="distr_1m_log", sealed_tier="distr_1m",
+        watermark="60 minutes", log_keys=("role", "window_start"),
+    )
+    assert len(seal["written_days"]) > 0
+
+    sealed = (
+        store.read_tier(spark, "distr_1m")
+        .toPandas()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        distinct_rollup(
+            transcripts.select("role", "conv_id", "ts"), "1m",
+            group_col="role",
+        )
+        .withColumn("day", F.date_format("window_start", "yyyy-MM-dd"))
+        .filter(F.col("day") < seal["seal_before"])
+        .drop("day")
+        .toPandas()
+        .sort_values(["role", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(sealed) == len(direct) > 0
+    assert (sealed["role"] == direct["role"]).all()
+    assert [list(b) for b in sealed["bitmap"]] == [
+        list(b) for b in direct["bitmap"]
+    ]
