@@ -470,3 +470,45 @@ def test_lb_bucket_matches_python_model_on_random_longs(spark):
         assert r["b"] == model_bucket(r["v"]), (r["v"], r["b"])
         expect_e = -1 if r["b"] == -1 else model_edge(r["b"])
         assert r["e"] == expect_e, (r["v"], r["b"], r["e"], expect_e)
+
+
+def test_hist_saturated_flags_lo_side_clamp(spark):
+    """The lo-side branch of hist_saturated: when the rank mass sits in
+    bin 0 AND lo-clamped rows exist, the estimate (lo + step) is flagged;
+    an in-range bin-0 window without clamped mass is NOT flagged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        hist_quantile,
+        hist_rollup,
+        hist_saturated,
+    )
+
+    lo, hi, bins = 0.0, 64.0, 8
+    t0 = dt.datetime(2025, 6, 2, 9, 0, 0)
+    rows = [
+        # conv L: most mass BELOW lo -> p95 rides the lo clamp edge
+        *[("L", t0 + dt.timedelta(seconds=i), v)
+          for i, v in enumerate([-9.0, -4.0, -1.0, 2.0])],
+        # conv C: clean bin-0 mass, nothing clamped -> not flagged
+        *[("C", t0 + dt.timedelta(seconds=i), v)
+          for i, v in enumerate([1.0, 2.0, 3.0, 4.0])],
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    h = hist_rollup(df, "1m", value_col="v", lo=lo, hi=hi, bins=bins)
+    got = {
+        r["conv_id"]: r
+        for r in h.select(
+            "conv_id",
+            "n_clamped_lo",
+            hist_quantile("hist", 0.95, lo, hi, bins).alias("p95"),
+            hist_saturated("hist", 0.95, lo, hi, bins).alias("sat"),
+        ).collect()
+    }
+    step = (hi - lo) / bins
+    assert got["L"]["n_clamped_lo"] == 3
+    assert got["L"]["p95"] == lo + step and got["L"]["sat"] is True
+    assert got["C"]["n_clamped_lo"] == 0
+    assert got["C"]["p95"] == lo + step and got["C"]["sat"] is False
