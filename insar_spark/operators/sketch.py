@@ -49,10 +49,19 @@ def bin_index(
     bins: int = DEFAULT_BINS,
 ) -> Column:
     """Clamped fixed-width bin index (out-of-range mass lands in the edge
-    bins — the sketch never drops rows, so counts stay exact)."""
+    bins — the sketch never drops rows, so counts stay exact).
+
+    The clamp happens on the LONG floor result and the int cast comes
+    last: casting first would wrap a raw index >= 2^31 negative (non-ANSI)
+    and drop an extreme value into bin 0 while ``n_clamped_hi`` reported
+    it high-clamped — and the DuckDB oracle's ``::INT`` would error
+    instead of wrapping, a latent cross-engine divergence."""
     step = (hi - lo) / bins
-    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step)).cast("int")
-    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step))
+    clamped = F.least(
+        F.lit(bins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw)
+    )
+    return clamped.cast("int")
 
 
 def hist_rollup(
@@ -156,10 +165,20 @@ def hist_quantile(
     (~1.6 s vs ~0.4 s per quantile over the sf0.1 1h tier's 95 k rows).
     The packing is safe while per-window counts stay below 2^57 (10¹²
     turns is 2^40)."""
+    step = (hi - lo) / bins
+    idx = hist_quantile_idx(hist_col, q)
+    return F.lit(lo) + (idx + 1).cast("double") * F.lit(step)
+
+
+def hist_quantile_idx(hist_col: str | Column, q: float) -> Column:
+    """Bin INDEX the q-rank lands in (NULL for an empty histogram) — the
+    integer core of :func:`hist_quantile`, exposed so edge-riding checks
+    (:func:`hist_saturated`) compare indices instead of reconstructed
+    floats, which is only reliable when lo/hi/step are exactly
+    representable. Same packed-long fold as documented above."""
     from insar_spark.functions.shared_hash import let_col
 
     h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
-    step = (hi - lo) / bins
     idx_mask = (1 << 6) - 1  # bins <= 64 by construction
 
     def body(rank: Column) -> Column:
@@ -174,10 +193,7 @@ def hist_quantile(
                 ).cast("long")
             ),
         )
-        idx = folded.bitwiseAND(F.lit(idx_mask))
-        return F.when(
-            rank > 0, F.lit(lo) + (idx + 1).cast("double") * F.lit(step)
-        )
+        return F.when(rank > 0, folded.bitwiseAND(F.lit(idx_mask)))
 
     total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
     rank = F.ceil(total.cast("double") * F.lit(float(q))).cast("long")
@@ -197,10 +213,13 @@ def hist_saturated(
     counters merge through every cascade level), so a mis-sized ``hi``
     baked in at ingest is visible at read time instead of lying.
 
-    hi-side: the estimate equals ``hi`` (rank reached only in the last
-    bin) while ``n_clamped_hi > 0``. lo-side: the estimate equals
-    ``lo + step`` (rank satisfied inside bin 0) while ``n_clamped_lo > 0``.
-    """
+    hi-side: the rank is reached only in the LAST bin (index bins-1)
+    while ``n_clamped_hi > 0``. lo-side: the rank is satisfied inside
+    bin 0 while ``n_clamped_lo > 0``. The comparison is on the integer
+    bin index from :func:`hist_quantile_idx`, not the reconstructed
+    float estimate — float equality against ``hi``/``lo+step`` can
+    silently never fire when the edges are not exactly representable
+    (arbitrary lo/hi); the index compare is exact for any edges."""
     clo = (
         F.col(clamped_lo_col)
         if isinstance(clamped_lo_col, str)
@@ -211,10 +230,9 @@ def hist_saturated(
         if isinstance(clamped_hi_col, str)
         else clamped_hi_col
     )
-    est = hist_quantile(hist_col, q, lo, hi, bins)
-    step = (hi - lo) / bins
-    rides_hi = (est == F.lit(hi)) & (chi > 0)
-    rides_lo = (est == F.lit(lo + step)) & (clo > 0)
+    idx = hist_quantile_idx(hist_col, q)
+    rides_hi = (idx == F.lit(bins - 1)) & (chi > 0)
+    rides_lo = (idx == F.lit(0)) & (clo > 0)
     return F.coalesce(rides_hi | rides_lo, F.lit(False))
 
 
@@ -392,7 +410,6 @@ def lb_bucket(value_col: str | Column, sub_bits: int = LB_SUB_BITS) -> Column:
     k = sub_bits
     cap = 1 << k
     m = F.length(F.bin(v)) - F.lit(1)
-    shift = m - F.lit(k)
     hi = (
         (m - F.lit(k - 1)) * F.lit(cap)
         + F.expr(f"shiftright(cast({_col_sql(value_col)} as bigint), "

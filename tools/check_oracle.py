@@ -17,6 +17,7 @@ data). Use ``--runs 3`` before concluding a float mismatch is a defect.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -124,9 +125,24 @@ def main() -> int:
     # cannot spill and a big unrolled oracle (robust lowess at sf0.1
     # materializes ~3 windowed self-join CTEs) dies with an OOM while the
     # Spark JVM holds its heap next door. Give it a spill dir and a cap
-    # well under the JVM's share.
+    # well under the JVM's share. The cap is host-dependent: default to
+    # ~1/3 of physical RAM (40GB on the 125GiB bench host), overridable
+    # via ORACLE_MEM for other machines.
+    mem = os.environ.get("ORACLE_MEM")
+    if not mem:
+        try:
+            kb = int(
+                next(
+                    line.split()[1]
+                    for line in open("/proc/meminfo")
+                    if line.startswith("MemTotal:")
+                )
+            )
+            mem = f"{max(1, kb // (3 * 1024 * 1024))}GB"
+        except (OSError, StopIteration):
+            mem = "4GB"
     con.execute("SET temp_directory='/tmp/duck_oracle_spill'")
-    con.execute("SET memory_limit='40GB'")
+    con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
