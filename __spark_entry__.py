@@ -2821,6 +2821,85 @@ FROM w GROUP BY event_type, window_start
 """
 
 
+def q_distinct_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturation visibility for the distinct-count tier (the bitmap
+    analog of hist_saturation_1h): the same hourly stream feeds TWO tall
+    bitmaps — one DELIBERATELY undersized (m=16, overrun by busy hours)
+    and one fleet-sized (m=2^20, the global tier's default) — and the
+    integer load-factor flag (`distinct_saturated`: set·100 > m·70) marks
+    exactly the windows whose linear-counting estimate has degraded.
+    Without the flag the undersized sketch silently reports ~m distincts
+    forever — the last silent-at-scale failure mode in the sketch tiers.
+    Exercises the TALL (window, word, wv) form end-to-end (rollup 1m →
+    bit_or cascade 1h → read), the large-m representation the 32768-agg
+    array form can't reach. Contract surface is all-integer (set bits,
+    XOR checksum, flag); the oracle replays positions, packing, cascade
+    and threshold in SQL."""
+    from insar_spark.operators.sketch import (
+        distinct_cascade_tall,
+        distinct_read_tall,
+        distinct_rollup_tall,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    small = distinct_read_tall(
+        distinct_cascade_tall(distinct_rollup_tall(ev, "1m", m=16), "1h"),
+        m=16,
+    ).select(
+        "window_start",
+        F.col("n_set_bits").alias("n_set_small"),
+        F.col("xor_checksum").alias("xor_small"),
+        F.col("saturated").alias("saturated_small"),
+    )
+    big = distinct_read_tall(
+        distinct_cascade_tall(
+            distinct_rollup_tall(ev, "1m", m=1 << 20), "1h"
+        ),
+        m=1 << 20,
+    ).select(
+        "window_start",
+        F.col("n_set_bits").alias("n_set_big"),
+        F.col("xor_checksum").alias("xor_big"),
+        F.col("saturated").alias("saturated_big"),
+    )
+    return small.join(big, "window_start")
+
+
+def _sql_distinct_saturation() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("cast(user_id as varchar)")
+
+    def sketch(m: int, suffix: str) -> str:
+        return f"""
+b_{suffix} AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         ({h} % {m}) // 32 AS word,
+         1::BIGINT << (({h} % {m}) % 32)::INT AS mask
+  FROM events
+), w_{suffix} AS (
+  SELECT window_start, word, bit_or(mask) AS wv
+  FROM b_{suffix} GROUP BY 1, 2
+), s_{suffix} AS (
+  SELECT window_start, sum(bit_count(wv))::BIGINT AS n_set_{suffix},
+         bit_xor(wv) AS xor_{suffix},
+         CASE WHEN sum(bit_count(wv)) * 100 > {m} * 70
+              THEN 1 ELSE 0 END AS saturated_{suffix}
+  FROM w_{suffix} GROUP BY 1
+)"""
+
+    return f"""
+WITH {sketch(16, 'small')}, {sketch(1 << 20, 'big')}
+SELECT window_start, n_set_small, xor_small, saturated_small,
+       n_set_big, xor_big, saturated_big
+FROM s_small JOIN s_big USING (window_start)
+"""
+
+
 def q_doc_len_p95_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length-distribution QC (pretraining mixture monitoring):
     p50/p95 document length per (lang, source) from the range-free
@@ -2982,7 +3061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in CORRECTNESS_r01/r02.json rotate past position 50 (their history
     persists; nothing is lost by rotating them out of the window)."""
     return {
-        # -- never driver-graded (were at positions 74-77 in round 3) ------
+        # -- new in round 5 (never driver-graded): bitmap-saturation
+        #    visibility + signed lb delta tails (VERDICT r4 #1/#2) --------
+        "distinct_saturation_1h": q_distinct_saturation_1h,
+        # -- sketch family: graded r4, kept in-window because round 5
+        #    touches sketch.py (shared code paths — VERDICT r4 #4) --------
         "hist_p95_global_1h": q_hist_p95_global_1h,
         "top_tokens_per_source": q_top_tokens_per_source,
         "distinct_convs_1h": q_distinct_convs_1h,
@@ -3160,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
         "lb_rank_p99_1h": _SQL_LB_RANK,
         "lb_rank_series_1h": _SQL_LB_RANK_SERIES,
         "distinct_convs_by_type_1h": _sql_distinct_convs_by_type(),
+        "distinct_saturation_1h": _sql_distinct_saturation(),
         "doc_len_p95_by_source": _SQL_DOC_LEN_P95,
         "gap_p99_by_type": _SQL_GAP_P99,
         "top_tokens_per_source": _SQL_TOP_TOKENS,

@@ -278,6 +278,24 @@ def hist_merge_global(
 
 DISTINCT_M = 1024  # bitmap positions; 32 packed per long => 32 words
 
+# Linear counting degrades as the bitmap fills (the estimate is
+# -m·ln(1-set/m): unusable well before set=m, undefined at set=m), so a
+# bitmap sized for per-key cardinality silently lies when pointed at
+# fleet cardinality. Two defenses, mirroring the histogram tier's clamp
+# counters: (a) a read-time saturation flag on an integer load-factor
+# compare (below), and (b) a GLOBAL default m sized for fleet
+# cardinality — 2^20 positions keeps the load factor under 10% at one
+# million distincts per window while the sketch stays tiny (32 K packed
+# words ≈ 256 KB/window, vs the corpus it summarizes). At that width the
+# 32768-aggregate array form would blow up codegen, hence the TALL
+# (window, word, wv) representation below whose merge is a plain
+# groupBy-bit_or — exactly the lb-sketch playbook.
+DISTINCT_M_GLOBAL = 1 << 20
+# load factor set/m above which the linear-counting estimate is flagged
+# degraded (standard guidance for linear counting; at 70% the relative
+# error has grown severalfold vs the low-load regime)
+DISTINCT_SATURATION_PCT = 70
+
 
 def distinct_rollup(
     df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
@@ -361,6 +379,119 @@ def distinct_set_bits(bitmap_col: str | Column) -> Column:
     h = F.col(bitmap_col) if isinstance(bitmap_col, str) else bitmap_col
     return F.aggregate(
         h, F.lit(0).cast("long"), lambda a, x: a + F.bit_count(x)
+    )
+
+
+def distinct_saturated(
+    set_bits_col: str | Column, m: int = DISTINCT_M,
+    threshold_pct: int = DISTINCT_SATURATION_PCT,
+) -> Column:
+    """True when the bitmap's load factor exceeds the threshold — i.e.
+    the linear-counting estimate derived from it is degraded (and at
+    set=m undefined). Pure INTEGER compare (set·100 > m·pct), so the
+    flag is byte-stable cross-engine and belongs in the hash-gated
+    contract surface, unlike the transcendental estimate itself.
+
+    This is the bitmap tier's analog of :func:`hist_saturated`: a
+    mis-sized ``m`` is baked in at ingest, and without this flag the
+    stored tier silently reports ~m distincts forever once fleet
+    cardinality overruns it."""
+    s = (
+        F.col(set_bits_col)
+        if isinstance(set_bits_col, str)
+        else set_bits_col
+    )
+    return (s * F.lit(100)) > F.lit(int(m) * int(threshold_pct))
+
+
+def distinct_estimate(set_bits_col: str | Column, m: int = DISTINCT_M) -> Column:
+    """Linear-counting estimate -m·ln(1-set/m) (Whang et al. 1990).
+    Transcendental — NOT part of the byte-hashed contract surface (see
+    distinct_set_bits); NULL once the bitmap is full (set=m), where the
+    estimator is undefined. Pair with :func:`distinct_saturated` — past
+    the load-factor threshold the value is a lower-bound-ish guess, not
+    an estimate."""
+    s = (
+        F.col(set_bits_col)
+        if isinstance(set_bits_col, str)
+        else set_bits_col
+    )
+    frac = s.cast("double") / F.lit(float(m))
+    return F.when(s < m, -F.lit(float(m)) * F.log(F.lit(1.0) - frac))
+
+
+def distinct_rollup_tall(
+    df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
+    ts_col: str = "ts", m: int = DISTINCT_M_GLOBAL,
+    group_col: str | None = None,
+) -> DataFrame:
+    """TALL distinct-count bitmap: one row per (group?, window, word)
+    holding the packed 32-bit word — the large-m form the array
+    representation can't reach (an m=2^20 array would need 32 768
+    independent bit_or aggregates; here `word` is part of the grouping
+    key, so the agg list stays width-1 and map-side partials absorb skew
+    exactly like the tall lb sketch). Rows exist only for words with at
+    least one set bit, so a quiet window costs a handful of rows while a
+    fleet-cardinality window tops out at m/32 rows. Merge/cascade =
+    groupBy-bit_or; set-bit reads = groupBy-sum of bit_count — all
+    native, all partial-aggregated."""
+    unit = TIERS[tier]
+    from insar_spark.functions.shared_hash import h60_col
+
+    p = F.pmod(h60_col(F.col(key_col).cast("string")), F.lit(m))
+    group = [group_col] if group_col else []
+    base = df.select(
+        *group,
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.floor(p / 32).cast("int").alias("word"),
+        F.expr("cast(1 as bigint)").alias("_one"),
+        (p % 32).cast("int").alias("_bit"),
+    ).withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
+    return (
+        base.groupBy(*group, "window_start", "word")
+        .agg(F.bit_or("_mask").cast("long").alias("wv"))
+    )
+
+
+def distinct_cascade_tall(
+    rolled: DataFrame, tier: str, group_col: str | None = None
+) -> DataFrame:
+    """Coarsen a tall bitmap tier: groupBy-bit_or per (window, word) —
+    associative/commutative/exact, the engine's native partial-agged
+    path, same shape as :func:`lb_cascade`."""
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    return (
+        rolled.groupBy(
+            *group,
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+            "word",
+        )
+        .agg(F.bit_or("wv").cast("long").alias("wv"))
+    )
+
+
+def distinct_read_tall(
+    rolled: DataFrame, m: int = DISTINCT_M_GLOBAL,
+    group_col: str | None = None,
+    threshold_pct: int = DISTINCT_SATURATION_PCT,
+) -> DataFrame:
+    """Serve a tall bitmap tier: per (group?, window) set-bit count, XOR
+    checksum (both byte-stable integers) and the saturation flag. One
+    groupBy-sum over the (tiny) stored tier."""
+    group = [group_col] if group_col else []
+    agg = rolled.groupBy(*group, "window_start").agg(
+        F.sum(F.bit_count("wv")).cast("long").alias("n_set_bits"),
+        F.expr("bit_xor(wv)").cast("long").alias("xor_checksum"),
+    )
+    return agg.select(
+        *group,
+        "window_start",
+        "n_set_bits",
+        "xor_checksum",
+        distinct_saturated("n_set_bits", m, threshold_pct)
+        .cast("int")
+        .alias("saturated"),
     )
 
 

@@ -185,13 +185,30 @@ def main(argv: list[str] | None = None) -> dict:
         }
 
         # global distinct-conversation bitmap tier (no series key):
-        # write_tier clusters by day only and reports n_series=1
-        from insar_spark.operators.sketch import distinct_cascade, distinct_rollup
+        # write_tier clusters by day only and reports n_series=1. The
+        # GLOBAL tier sees fleet cardinality, so it uses the TALL
+        # large-m form (m=2^20: load factor < 10% at 1M distincts per
+        # window — the array form's m=1024 saturates silently there),
+        # and m rides the manifest exactly like the hist bin edges so a
+        # reader can derive the load factor / saturation flag from the
+        # stored tier alone.
+        from insar_spark.operators.sketch import (
+            DISTINCT_M_GLOBAL,
+            distinct_cascade_tall,
+            distinct_rollup_tall,
+        )
 
+        dist_params = {
+            **run_params,
+            "distinct_m": DISTINCT_M_GLOBAL,
+            "distinct_form": "tall",
+        }
         res = store.write_tier(
-            distinct_rollup(turns.select("conv_id", "ts"), "1m"),
+            distinct_rollup_tall(
+                turns.select("conv_id", "ts"), "1m", m=DISTINCT_M_GLOBAL
+            ),
             "dist_1m",
-            run_params=run_params,
+            run_params=dist_params,
         )
         metrics["tiers"]["dist_1m"] = {
             "written_days": len(res["written_days"]),
@@ -199,7 +216,9 @@ def main(argv: list[str] | None = None) -> dict:
         }
         stored_d1m = store.read_tier(spark, "dist_1m").drop("day")
         res = store.write_tier(
-            distinct_cascade(stored_d1m, "1h"), "dist_1h", run_params=run_params
+            distinct_cascade_tall(stored_d1m, "1h"),
+            "dist_1h",
+            run_params=dist_params,
         )
         metrics["tiers"]["dist_1h"] = {
             "written_days": len(res["written_days"]),

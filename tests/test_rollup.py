@@ -403,6 +403,110 @@ def test_lb_rank_sketch_absorbs_mega_conversation(spark):
     assert (q["p95"] >= 0).all() and len(q) > 0
 
 
+def test_distinct_tall_form_and_saturation_visibility(spark, tmp_path):
+    """The TALL large-m bitmap form (a) agrees bit-for-bit with the array
+    form at the same m, (b) cascades exactly (bit_or merge), (c) flags a
+    deliberately-overflowed bitmap via the integer load-factor compare
+    while the fleet-sized m stays unflagged AND accurate, and (d) the
+    saturation is detectable from the STORED tier alone (m rides the
+    manifest, the flag derives from stored rows)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        DISTINCT_M,
+        distinct_cascade_tall,
+        distinct_estimate,
+        distinct_read_tall,
+        distinct_rollup,
+        distinct_rollup_tall,
+        distinct_saturated,
+        distinct_set_bits,
+    )
+    from insar_spark.sources.catalog import TierStore
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    # 400 distinct keys in one hour: overruns m=64 (load ~100%), sits at
+    # load ~0.4 for m=1024
+    rows = [
+        (f"k{i}", t0 + dt.timedelta(seconds=7 * i)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+
+    # (a) cross-form identity at m=1024: array word i == tall row word=i
+    tall = {
+        r["word"]: r["wv"]
+        for r in distinct_rollup_tall(df, "1h", m=DISTINCT_M).collect()
+    }
+    arr = distinct_rollup(df, "1h").collect()[0]["bitmap"]
+    for i, wv in enumerate(arr):
+        assert tall.get(i, 0) == wv
+
+    # (b) cascade exactness: 1m -> 1h bit_or == direct 1h
+    via = {
+        r["word"]: r["wv"]
+        for r in distinct_cascade_tall(
+            distinct_rollup_tall(df, "1m", m=DISTINCT_M), "1h"
+        ).collect()
+    }
+    assert via == tall
+
+    # (c) saturation flag discriminates; sized-m estimate is accurate
+    small = distinct_read_tall(
+        distinct_rollup_tall(df, "1h", m=64), m=64
+    ).collect()[0]
+    big = distinct_read_tall(
+        distinct_rollup_tall(df, "1h", m=1 << 20), m=1 << 20
+    ).collect()[0]
+    assert small["saturated"] == 1 and big["saturated"] == 0
+    assert small["n_set_bits"] <= 64  # the undersized sketch is pinned at m
+    est = -(1 << 20) * math.log(1 - big["n_set_bits"] / (1 << 20))
+    assert abs(est - 400) <= 5  # fleet-sized: estimate ~= truth
+
+    # distinct_estimate column agrees with the python formula and is
+    # NULL at set=m (undefined point)
+    got = (
+        spark.range(1)
+        .select(
+            distinct_estimate(F.lit(big["n_set_bits"]), 1 << 20).alias("e"),
+            distinct_estimate(F.lit(64), 64).alias("full"),
+        )
+        .collect()[0]
+    )
+    assert abs(got["e"] - est) < 1e-9 and got["full"] is None
+    # integer threshold semantics: strictly-above-70% fires
+    flags = (
+        spark.range(1)
+        .select(
+            distinct_saturated(F.lit(44), 64).alias("a"),  # 68.75%
+            distinct_saturated(F.lit(45), 64).alias("b"),  # 70.3%
+        )
+        .collect()[0]
+    )
+    assert flags["a"] is False and flags["b"] is True
+
+    # (d) stored-tier detectability: write the undersized tier, read it
+    # back cold, and derive the flag from stored rows + manifest m
+    store = TierStore(str(tmp_path / "tiers"))
+    store.write_tier(
+        distinct_rollup_tall(df, "1m", m=64),
+        "dist_1m",
+        run_params={"distinct_m": 64, "distinct_form": "tall"},
+    )
+    snap = store.manifest("dist_1m")["snapshots"][-1]["run_params"]
+    assert snap["distinct_m"] == 64
+    stored = store.read_tier(spark, "dist_1m").drop("day")
+    served = distinct_read_tall(
+        distinct_cascade_tall(stored, "1h"), m=snap["distinct_m"]
+    ).collect()[0]
+    assert served["saturated"] == 1
+    # and the array-form reader building block agrees on the bit count
+    assert served["n_set_bits"] == small["n_set_bits"]
+    assert distinct_set_bits is not None  # array form still exported
+
+
 def test_distinct_sketch_keyed_cascade_exact(spark, transcripts):
     """KEYED bitmap tier (group_col): cascading per-(role, window) 1m
     bitmaps to 1h is bit-identical to rolling directly at 1h, and the

@@ -130,3 +130,35 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert (stored_lb["cnt"] == direct_lb["cnt"]).all()
     snap = store.manifest("lb_1m")["snapshots"][-1]["run_params"]
     assert snap["lb_sub_bits"] == LB_SUB_BITS
+
+    # the global distinct tier is the TALL fleet-sized form, its m rides
+    # the manifest (the hist-edge pattern: a reader can derive load
+    # factor / saturation from the stored tier alone), and the stored
+    # bit_or cascade equals a direct 1h rollup of the raw turns
+    from insar_spark.operators.sketch import (
+        DISTINCT_M_GLOBAL,
+        distinct_rollup_tall,
+    )
+
+    for dist_tier in ("dist_1m", "dist_1h"):
+        snap = store.manifest(dist_tier)["snapshots"][-1]["run_params"]
+        assert snap["distinct_m"] == DISTINCT_M_GLOBAL
+        assert snap["distinct_form"] == "tall"
+    stored_d = (
+        store.read_tier(spark, "dist_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["window_start", "word"])
+        .reset_index(drop=True)
+    )
+    direct_d = (
+        distinct_rollup_tall(
+            turns.select("conv_id", "ts"), "1h", m=DISTINCT_M_GLOBAL
+        )
+        .toPandas()
+        .sort_values(["window_start", "word"])
+        .reset_index(drop=True)
+    )
+    assert len(stored_d) == len(direct_d) > 0
+    assert (stored_d["word"] == direct_d["word"]).all()
+    assert (stored_d["wv"] == direct_d["wv"]).all()
