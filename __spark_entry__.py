@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-83 registered queries, 83 oracles. The driver grades the FIRST 50
+85 registered queries, 85 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -1431,6 +1431,104 @@ SELECT conv_id, window_start, n_points,
        CASE WHEN b95 < 32 THEN b95
             ELSE ((32 + b95 % 32) << ((b95 // 32) - 1))
                  + ((1::BIGINT << ((b95 // 32) - 1)) - 1) END AS p95_est
+FROM p
+"""
+)
+
+
+def q_delta_p05_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail percentiles of a SIGNED series from the lb sketch — mirrored
+    negative octaves (lb_bucket_signed: bucket(v<0) = -2 - bucket(-v),
+    monotone across the sign boundary, so the cumsum/rank scan works
+    unchanged). The input is the engine's flagship signed series: W1
+    text-length deltas per conversation (reference analog: the solved
+    deformation series is signed, insar/timeseries.py:540-553, and the
+    reference quantile-scans signed values, insar/ts_utils.py:282-289).
+    Before this, a "p05/p95 of turn deltas per hour" tier needed either
+    a range guess (hist) or lost the whole negative tail (unsigned lb
+    underflow bucket). All-integer bucket math, exact for |delta| < 32,
+    relative error <= 2^-5 on both tails; the oracle re-implements the
+    signed buckets and mirrored edge decode independently in SQL."""
+    from insar_spark.operators.sketch import lb_merge_global, lb_quantiles, lb_rollup
+
+    t = events_series(spark, sf_dir).withColumn(
+        "vi", F.floor("v").cast("long")
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    d = t.withColumn("delta", F.col("vi") - F.lag("vi").over(w)).filter(
+        F.col("delta").isNotNull()
+    )
+    s1m = lb_rollup(d, "1m", value_col="delta", signed=True)
+    g1h = lb_merge_global(s1m, "1h")
+    return lb_quantiles(
+        g1h,
+        {"p05_est": 0.05, "p50_est": 0.50, "p95_est": 0.95},
+        ("window_start",),
+        signed=True,
+    )
+
+
+def _lb_sql_bucket_signed(x: str) -> str:
+    """DuckDB fragment: signed log-bucket id (independent re-statement of
+    the mirrored-octave math, k=5)."""
+    pos = (
+        f"(CASE WHEN {x} < 32 THEN {x} ELSE (length(bin({x})) - 5) * 32 "
+        f"+ ({x} >> (length(bin({x})) - 6)) - 32 END)"
+    )
+    neg_a = f"(-{x})"
+    neg = (
+        f"(CASE WHEN {neg_a} < 32 THEN {neg_a} "
+        f"ELSE (length(bin({neg_a})) - 5) * 32 "
+        f"+ ({neg_a} >> (length(bin({neg_a})) - 6)) - 32 END)"
+    )
+    return f"(CASE WHEN {x} >= 0 THEN {pos} ELSE -2 - {neg} END)"
+
+
+def _lb_sql_edge_signed(b: str) -> str:
+    """DuckDB fragment: largest value in signed bucket ``b`` (upper edge
+    for b >= 0, negated LOWER edge of the magnitude bucket for b <= -3)."""
+    upper = (
+        f"(CASE WHEN {b} < 32 THEN {b} "
+        f"ELSE ((32 + {b} % 32) << (({b} // 32) - 1)) "
+        f"+ ((1::BIGINT << (({b} // 32) - 1)) - 1) END)"
+    )
+    p = f"(-2 - {b})"
+    lower = (
+        f"(CASE WHEN {p} < 32 THEN {p} "
+        f"ELSE ((32 + {p} % 32) << (({p} // 32) - 1)) END)"
+    )
+    return f"(CASE WHEN {b} >= 0 THEN {upper} ELSE -{lower} END)"
+
+
+_SQL_DELTA_TAILS = (
+    SERIES_CTE
+    + f"""
+, d AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         floor(v)::BIGINT
+           - lag(floor(v)::BIGINT)
+             OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS delta
+  FROM t
+), bkt AS (
+  SELECT window_start, {_lb_sql_bucket_signed('delta')} AS bucket,
+         count(*) AS cnt
+  FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+), w AS (
+  SELECT window_start, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY window_start ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY window_start) AS total
+  FROM bkt
+), p AS (
+  SELECT window_start, max(total)::BIGINT AS n_points,
+         min(bucket) FILTER (cum >= ceil(total * 0.05)) AS b05,
+         min(bucket) FILTER (cum >= ceil(total * 0.50)) AS b50,
+         min(bucket) FILTER (cum >= ceil(total * 0.95)) AS b95
+  FROM w GROUP BY 1
+)
+SELECT window_start, n_points,
+       {_lb_sql_edge_signed('b05')} AS p05_est,
+       {_lb_sql_edge_signed('b50')} AS p50_est,
+       {_lb_sql_edge_signed('b95')} AS p95_est
 FROM p
 """
 )
@@ -3064,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 (never driver-graded): bitmap-saturation
         #    visibility + signed lb delta tails (VERDICT r4 #1/#2) --------
         "distinct_saturation_1h": q_distinct_saturation_1h,
+        "delta_p05_p95_1h": q_delta_p05_p95_1h,
         # -- sketch family: graded r4, kept in-window because round 5
         #    touches sketch.py (shared code paths — VERDICT r4 #4) --------
         "hist_p95_global_1h": q_hist_p95_global_1h,
@@ -3244,6 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "lb_rank_series_1h": _SQL_LB_RANK_SERIES,
         "distinct_convs_by_type_1h": _sql_distinct_convs_by_type(),
         "distinct_saturation_1h": _sql_distinct_saturation(),
+        "delta_p05_p95_1h": _SQL_DELTA_TAILS,
         "doc_len_p95_by_source": _SQL_DOC_LEN_P95,
         "gap_p99_by_type": _SQL_GAP_P99,
         "top_tokens_per_source": _SQL_TOP_TOKENS,

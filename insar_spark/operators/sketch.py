@@ -593,20 +593,101 @@ def lb_upper_edge(
     return F.when(b < cap, b).otherwise(edge).cast("long")
 
 
+def _lb_pos_bucket_sql(x: str, k: int) -> str:
+    """SQL fragment: log-bucket id of a NONNEGATIVE long expression —
+    the integer core shared by the unsigned and signed bucket functions
+    (msb via length(bin(.)), sub-bucket via shiftright; bit-identical in
+    Spark and DuckDB)."""
+    cap = 1 << k
+    return (
+        f"(CASE WHEN {x} < {cap} THEN {x} "
+        f"ELSE (length(bin({x})) - {k}) * {cap} "
+        f"+ shiftright({x}, length(bin({x})) - 1 - {k}) - {cap} END)"
+    )
+
+
+def lb_bucket_signed(value_col: str, sub_bits: int = LB_SUB_BITS) -> Column:
+    """Monotone integer bucket id over the FULL signed long range —
+    mirrored negative octaves:
+
+    v >= 0  -> lb_bucket(v)                (0, 1, 2, ...)
+    v <  0  -> -2 - lb_bucket(-v)          (-3, -4, ... more negative as
+                                            |v| grows)
+
+    Monotone end to end (v=-1 -> -3, v=0 -> 0; ids -2/-1 are never
+    produced), so the cumsum/rank scan of lb_quantiles works unchanged —
+    buckets sort in value order across the sign boundary. Exactness and
+    the <= 2^-k relative-error bound hold symmetrically (EXACT for
+    |v| < 2^k). Long.MIN has no representable negation; it is clamped to
+    -(2^63-1) first, which lands in the same top octave (monotonicity
+    preserved, no ANSI overflow). The engine's flagship signed series —
+    text-length deltas (W1), detrended/aligned values (reference analog:
+    signed deformation, insar/timeseries.py:540-553; quantile scans over
+    signed values, insar/ts_utils.py:282-289) — get tail percentiles
+    without a range guess (hist) or a collapsed negative tail (the
+    unsigned lb underflow bucket)."""
+    k = sub_bits
+    pos = f"cast(`{value_col}` as bigint)"
+    neg = f"(0 - greatest({pos}, -9223372036854775807))"
+    sql = (
+        f"CASE WHEN {pos} >= 0 THEN {_lb_pos_bucket_sql(pos, k)} "
+        f"ELSE -2 - {_lb_pos_bucket_sql(neg, k)} END"
+    )
+    return F.expr(sql).cast("long")
+
+
+def lb_edge_signed(bucket_col: str, sub_bits: int = LB_SUB_BITS) -> Column:
+    """Quantile-estimate convention for signed buckets: the LARGEST value
+    in the bucket (ceil convention, matching lb_upper_edge). For b >= 0
+    that is the positive upper edge; for a mirrored bucket b <= -3 the
+    largest value is the NEGATED LOWER edge of the magnitude bucket
+    p = -2 - b (values in the bucket are -[lower_p, upper_p]). All
+    integer, overflow-free (the shifted intermediate stays < 2^63 for
+    every valid bucket), SQL-reproducible."""
+    k = sub_bits
+    cap = 1 << k
+    b = f"cast(`{bucket_col}` as bigint)"
+    shift_pos = f"(cast(shiftright({b}, {k}) as int) - 1)"
+    upper = (
+        f"CASE WHEN {b} < {cap} THEN {b} "
+        f"ELSE shiftleft({cap} + ({b} % {cap}), {shift_pos}) "
+        f"+ (shiftleft(cast(1 as bigint), {shift_pos}) - 1) END"
+    )
+    p = f"(-2 - {b})"
+    shift_neg = f"(cast(shiftright({p}, {k}) as int) - 1)"
+    lower = (
+        f"CASE WHEN {p} < {cap} THEN {p} "
+        f"ELSE shiftleft({cap} + ({p} % {cap}), {shift_neg}) END"
+    )
+    sql = f"CASE WHEN {b} >= 0 THEN ({upper}) ELSE -({lower}) END"
+    return F.expr(sql).cast("long")
+
+
 def lb_rollup(
     df: DataFrame, tier: str = "1m", value_col: str = "v",
     ts_col: str = "ts", sub_bits: int = LB_SUB_BITS,
+    signed: bool = False,
 ) -> DataFrame:
     """(conv_id, window_start, bucket, cnt) — tall tier-0 rank sketch.
-    One shuffle on (key, window, bucket); counts are exact."""
+    One shuffle on (key, window, bucket); counts are exact.
+
+    ``signed=True`` buckets with the mirrored-negative-octave function
+    (full resolution on both tails) instead of the single underflow
+    bucket; the tall shape, merge and cascade are identical either way
+    (the bucket id is just a grouping key)."""
     unit = TIERS[tier]
     tmp = df.select(
         KEY,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
         F.col(value_col).cast("long").alias("_v"),
     )
+    b = (
+        lb_bucket_signed("_v", sub_bits)
+        if signed
+        else lb_bucket("_v", sub_bits)
+    )
     return (
-        tmp.withColumn("bucket", lb_bucket("_v", sub_bits))
+        tmp.withColumn("bucket", b)
         .groupBy(KEY, "window_start", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -640,14 +721,18 @@ def lb_merge_global(rolled: DataFrame, tier: str) -> DataFrame:
 
 def lb_quantiles(
     rolled: DataFrame, qs: dict[str, float], group_cols: tuple[str, ...],
-    sub_bits: int = LB_SUB_BITS,
+    sub_bits: int = LB_SUB_BITS, signed: bool = False,
 ) -> DataFrame:
     """Quantile estimates from a tall sketch, ALL in one pass: rank =
     ceil(q*total); answer = upper edge of the first bucket whose
     cumulative count reaches the rank (same convention as hist_quantile).
     One window cumsum in bucket order, then a conditional-min per
     requested quantile — pure DataFrame ops over the (tiny) tier, no
-    second scan per quantile."""
+    second scan per quantile.
+
+    ``signed=True`` decodes buckets with :func:`lb_edge_signed` (pair
+    with a ``signed=True`` rollup); the scan itself is unchanged because
+    the signed bucket ids still sort in value order."""
     from pyspark.sql import Window as W
 
     g = list(group_cols)
@@ -668,11 +753,9 @@ def lb_quantiles(
             )
         )
     picked = t.groupBy(*g).agg(*aggs)
+    edge = lb_edge_signed if signed else lb_upper_edge
     return picked.select(
         *g,
         "n_points",
-        *[
-            lb_upper_edge(f"_b_{name}", sub_bits).alias(name)
-            for name in qs
-        ],
+        *[edge(f"_b_{name}", sub_bits).alias(name) for name in qs],
     )

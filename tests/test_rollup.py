@@ -345,7 +345,160 @@ def test_lb_rank_sketch_invariants_and_cascade(spark):
         assert (e - exact) <= max(1, e * 2.0 ** -k), (conv, w, exact, e)
 
 
-def test_lb_rank_sketch_absorbs_mega_conversation(spark):
+def _pb_mirror(v: int, k: int = 5) -> int:
+    """Python mirror of the nonnegative log-bucket id (independent
+    restatement for property testing)."""
+    cap = 1 << k
+    if v < cap:
+        return v
+    m = v.bit_length() - 1
+    return (m - k + 1) * cap + (v >> (m - k)) - cap
+
+
+def _bucket_signed_mirror(v: int, k: int = 5) -> int:
+    if v >= 0:
+        return _pb_mirror(v, k)
+    a = -max(v, -(2**63 - 1))  # long-min clamps into the top octave
+    return -2 - _pb_mirror(a, k)
+
+
+def _edge_signed_mirror(b: int, k: int = 5) -> int:
+    cap = 1 << k
+
+    def lower(p):
+        if p < cap:
+            return p
+        mm = (p >> k) + k - 1
+        return (cap + p % cap) << (mm - k)
+
+    def upper(p):
+        if p < cap:
+            return p
+        mm = (p >> k) + k - 1
+        return ((cap + p % cap) << (mm - k)) + ((1 << (mm - k)) - 1)
+
+    return upper(b) if b >= 0 else -lower(-2 - b)
+
+
+def test_lb_signed_bucket_properties():
+    """Property test (hypothesis): over the FULL signed long range the
+    mirrored-octave bucket id is monotone, the edge decode bounds the
+    value from above with relative error <= 2^-k on both tails, and the
+    exact region |v| < 2^k is exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=500, deadline=None)
+    @given(longs, longs)
+    def monotone(v1, v2):
+        if v1 > v2:
+            v1, v2 = v2, v1
+        assert _bucket_signed_mirror(v1) <= _bucket_signed_mirror(v2)
+
+    @settings(max_examples=500, deadline=None)
+    @given(longs)
+    def edge_bounds(v):
+        b = _bucket_signed_mirror(v)
+        e = _edge_signed_mirror(b)
+        if v == -(2**63):
+            v = -(2**63 - 1)  # clamped domain edge
+        assert v <= e
+        a = abs(v)
+        if a < 32:
+            assert e == v  # exact region (both signs)
+        else:
+            assert e - v <= (a >> 5) + 1  # relative error <= 2^-5
+
+    monotone()
+    edge_bounds()
+
+
+def test_lb_signed_spark_matches_mirror(spark):
+    """The Spark signed bucket/edge expressions agree with the python
+    mirror on an adversarial signed grid (octave boundaries both signs,
+    long extremes incl. the long-min clamp), sort in value order across
+    the sign boundary, and signed lb_rollup cascades exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        lb_bucket_signed,
+        lb_cascade,
+        lb_edge_signed,
+        lb_quantiles,
+        lb_rollup,
+    )
+
+    grid = sorted(
+        {0, 1, 31, 32, 33, -1, -31, -32, -33, 2**63 - 1, -(2**63 - 1), -(2**63)}
+        | {s * ((1 << e) + d) for e in range(5, 63) for d in (-1, 0, 1)
+           for s in (1, -1)}
+        | {s * 3**e for e in range(1, 39) for s in (1, -1)}
+    )
+    df = spark.createDataFrame([(v,) for v in grid], "v long")
+    rows = (
+        df.select("v", lb_bucket_signed("v").alias("b"))
+        .withColumn("e", lb_edge_signed("b"))
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = None
+    for r in rows:
+        v, b, e = r["v"], r["b"], r["e"]
+        assert b == _bucket_signed_mirror(v), (v, b)
+        assert e == _edge_signed_mirror(b), (v, b, e)
+        if prev_b is not None:
+            assert b >= prev_b  # bucket ids sort in value order
+        prev_b = b
+
+    # signed rollup: cascade identity + quantiles bound the exact answer
+    t0 = dt.datetime(2025, 6, 1, 0, 0, 0)
+    vals = [
+        ("c%d" % (i % 5), t0 + dt.timedelta(minutes=i % 90),
+         ((i * 37) % 701) - 350)
+        for i in range(2000)
+    ]
+    turns = spark.createDataFrame(vals, "conv_id string, ts timestamp, vi long")
+    s1m = lb_rollup(turns, "1m", value_col="vi", signed=True)
+    via = (
+        lb_cascade(s1m, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        lb_rollup(turns, "1h", value_col="vi", signed=True)
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(via) == len(direct) > 0
+    assert (via["bucket"] == direct["bucket"]).all()
+    assert (via["cnt"] == direct["cnt"]).all()
+
+    est = lb_quantiles(
+        lb_cascade(s1m, "1h"),
+        {"p05": 0.05, "p95": 0.95},
+        ("conv_id", "window_start"),
+        signed=True,
+    ).toPandas()
+    p = turns.toPandas()
+    p["window_start"] = p["ts"].dt.floor("h")
+    byk = {
+        (r["conv_id"], r["window_start"]): r for _, r in est.iterrows()
+    }
+    import math
+
+    for (conv, w), g in p.groupby(["conv_id", "window_start"]):
+        xs = sorted(g["vi"])
+        for q, col in ((0.05, "p05"), (0.95, "p95")):
+            exact = xs[max(0, math.ceil(q * len(xs)) - 1)]  # nearest-rank
+            e = byk[(conv, w)][col]
+            assert exact <= e, (conv, w, q, exact, e)
+            assert e - exact <= max(1, abs(exact) >> 5), (conv, w, q, exact, e)
     """Skew proof for the tall sketch: a mega conversation concentrated in
     few windows produces identical tier rows whether it arrives alone or
     mixed with a long tail, and the per-(key, window) row count stays
