@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 DEFAULT_RETENTION: dict[str, int | None] = {
     "1m": 7, "1h": 90, "1d": None,
     "hist_1m": 7, "hist_1h": 90,
-    "lb_1m": 7, "lb_1h": 90,
+    "lb_1m": 7, "lb_1h": 90, "lb_1d": None,
     "dist_1m": 7, "dist_1h": 90,
 }
 
@@ -314,6 +314,25 @@ class TierStore:
         # partition-column inference would type `day` as DATE; keep the
         # manifest's string form for a stable schema
         return df.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+    def tier_bytes(self, tier: str) -> int:
+        """On-disk bytes of the tier's committed files — the footprint
+        number store policies compare (row counts mislead across tier
+        shapes: a tall lb row is ~30 B, a 64-bin hist array row ~530 B).
+        Missing files (concurrent vacuum) count as 0."""
+        man = self.manifest(tier)
+        total = 0
+        for d, part in man["partitions"].items():
+            day_dir = self.tier_path(tier, d)
+            names = part.get("files") or (
+                os.listdir(day_dir) if os.path.isdir(day_dir) else []
+            )
+            for n in names:
+                try:
+                    total += os.path.getsize(os.path.join(day_dir, n))
+                except OSError:
+                    pass
+        return total
 
     # --------------------------------------------------- retention / compact
 

@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> dict:
         "(hist_1m -> hist_1h over text_len): same TierStore commit/"
         "resume/expiry semantics, cascade reads the STORED finer tier",
     )
+    p.add_argument(
+        "--lb-tier0",
+        action="store_true",
+        dest="lb_tier0",
+        help="with --sketch: ALSO persist the log-bucket sketch at 1m. "
+        "Default policy starts the persisted lb family at 1h because the "
+        "tall sketch barely collapses sparse series at 1m (measured "
+        "~1.6x the hist tier's rows); opting in records the measured "
+        "lb_1m/hist_1m row ratio in the job metrics",
+    )
     args = p.parse_args(argv)
 
     extra = (
@@ -155,34 +165,79 @@ def main(argv: list[str] | None = None) -> dict:
 
         # range-free log-bucket rank sketch tier (second sketch family):
         # tall (key, window, bucket, cnt) rows, merge = groupBy sum, no
-        # [lo,hi) assumption so nothing ever clamps/saturates
+        # [lo,hi) assumption so nothing ever clamps/saturates.
+        #
+        # STORE POLICY (round-5): the tall sketch barely collapses sparse
+        # series at 1m granularity — measured 1.57x the hist tier's row
+        # count on the sparse synth corpus, i.e. a tier-0 sketch
+        # comparable to the raw table, which defeats the "cascade reads
+        # stored tiers, never raw" rule. So the PERSISTED lb family
+        # starts at 1h (a direct 1h rollup — pytest-proven identical to
+        # cascading a transient 1m sketch) and cascades 1h -> 1d from
+        # storage. --lb-tier0 opts into persisting the 1m sketch too
+        # (dense-window deployments); the job then records the measured
+        # lb_1m/hist_1m row ratio in its metrics so the operator can see
+        # whether the opt-in was justified. The STREAMING path still
+        # seals 1m lb partials — that layer is the bounded (7-day
+        # retention) real-time serve window, not long-term tier storage.
         from insar_spark.operators.sketch import (
             LB_SUB_BITS,
             lb_cascade,
             lb_rollup,
         )
 
-        lb_params = {**run_params, "lb_sub_bits": LB_SUB_BITS}
+        lb_params = {
+            **run_params,
+            "lb_sub_bits": LB_SUB_BITS,
+            "lb_tier0_policy": "1m" if args.lb_tier0 else "1h+",
+        }
         lb_src = turns.select(
             "conv_id", "ts", F.length("text").cast("long").alias("text_len")
         )
-        res = store.write_tier(
-            lb_rollup(lb_src, "1m", value_col="text_len"),
-            "lb_1m",
-            run_params=lb_params,
-        )
-        metrics["tiers"]["lb_1m"] = {
-            "written_days": len(res["written_days"]),
-            "skipped_days": len(res["skipped_days"]),
-        }
-        stored_lb1m = store.read_tier(spark, "lb_1m").drop("day")
-        res = store.write_tier(
-            lb_cascade(stored_lb1m, "1h"), "lb_1h", run_params=lb_params
-        )
+        if args.lb_tier0:
+            res = store.write_tier(
+                lb_rollup(lb_src, "1m", value_col="text_len"),
+                "lb_1m",
+                run_params=lb_params,
+            )
+            metrics["tiers"]["lb_1m"] = {
+                "written_days": len(res["written_days"]),
+                "skipped_days": len(res["skipped_days"]),
+            }
+            stored_lb1m = store.read_tier(spark, "lb_1m").drop("day")
+            res = store.write_tier(
+                lb_cascade(stored_lb1m, "1h"), "lb_1h", run_params=lb_params
+            )
+        else:
+            res = store.write_tier(
+                lb_rollup(lb_src, "1h", value_col="text_len"),
+                "lb_1h",
+                run_params=lb_params,
+            )
         metrics["tiers"]["lb_1h"] = {
             "written_days": len(res["written_days"]),
             "skipped_days": len(res["skipped_days"]),
         }
+        stored_lb1h = store.read_tier(spark, "lb_1h").drop("day")
+        res = store.write_tier(
+            lb_cascade(stored_lb1h, "1d"), "lb_1d", run_params=lb_params
+        )
+        metrics["tiers"]["lb_1d"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        if args.lb_tier0:
+            lb_rows = sum(
+                p["rows"]
+                for p in store.manifest("lb_1m")["partitions"].values()
+            )
+            hist_rows = sum(
+                p["rows"]
+                for p in store.manifest("hist_1m")["partitions"].values()
+            )
+            metrics["lb_tier0_rows_ratio"] = (
+                round(lb_rows / hist_rows, 3) if hist_rows else None
+            )
 
         # global distinct-conversation bitmap tier (no series key):
         # write_tier clusters by day only and reports n_series=1. The
@@ -227,7 +282,8 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
-            ("hist_1m", "hist_1h", "lb_1m", "lb_1h", "dist_1m", "dist_1h")
+            ("hist_1m", "hist_1h", "lb_1h", "lb_1d", "dist_1m", "dist_1h")
+            + (("lb_1m",) if args.lb_tier0 else ())
             if args.sketch
             else ()
         )

@@ -64,16 +64,19 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     m1 = job_main(argv)
     assert m1["tiers"]["hist_1m"]["written_days"] > 0
     assert m1["tiers"]["hist_1h"]["written_days"] > 0
-    assert m1["tiers"]["lb_1m"]["written_days"] > 0
+    # lb store policy: persisted family starts at 1h (tier-0 at 1m is
+    # opt-in — the tall sketch barely collapses sparse series at 1m)
+    assert "lb_1m" not in m1["tiers"]
     assert m1["tiers"]["lb_1h"]["written_days"] > 0
+    assert m1["tiers"]["lb_1d"]["written_days"] > 0
     assert m1["tiers"]["dist_1m"]["written_days"] > 0
     assert m1["tiers"]["dist_1h"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
     assert m2["tiers"]["hist_1h"]["written_days"] == 0
-    assert m2["tiers"]["lb_1m"]["written_days"] == 0
     assert m2["tiers"]["lb_1h"]["written_days"] == 0
+    assert m2["tiers"]["lb_1d"]["written_days"] == 0
     assert m2["tiers"]["dist_1m"]["written_days"] == 0
 
     store = TierStore(store_path)
@@ -128,8 +131,24 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert len(stored_lb) == len(direct_lb) > 0
     assert (stored_lb["bucket"] == direct_lb["bucket"]).all()
     assert (stored_lb["cnt"] == direct_lb["cnt"]).all()
-    snap = store.manifest("lb_1m")["snapshots"][-1]["run_params"]
+    snap = store.manifest("lb_1h")["snapshots"][-1]["run_params"]
     assert snap["lb_sub_bits"] == LB_SUB_BITS
+    assert snap["lb_tier0_policy"] == "1h+"
+
+    # store policy, enforced: the lb family's finest PERSISTED tier never
+    # exceeds the hist tier's tier-0 FOOTPRINT (on-disk bytes — row
+    # counts mislead across tier shapes: this ultra-sparse synth corpus
+    # barely collapses rows even at 1h, but a tall lb row is ~30 B vs a
+    # ~530 B 64-bin array row) on the sparse synth corpus, and the row
+    # count stays strictly below the raw turn count
+    assert 0 < store.tier_bytes("lb_1h") <= store.tier_bytes("hist_1m")
+    lb_rows = sum(
+        p["rows"] for p in store.manifest("lb_1h")["partitions"].values()
+    )
+    assert 0 < lb_rows < turns.count()
+    import os
+
+    assert not os.path.exists(store.tier_path("lb_1m"))
 
     # the global distinct tier is the TALL fleet-sized form, its m rides
     # the manifest (the hist-edge pattern: a reader can derive load
@@ -162,3 +181,56 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert len(stored_d) == len(direct_d) > 0
     assert (stored_d["word"] == direct_d["word"]).all()
     assert (stored_d["wv"] == direct_d["wv"]).all()
+
+
+def test_job_lb_tier0_opt_in_records_collapse_ratio(spark, tmp_path):
+    """--lb-tier0 opts into persisting the 1m lb sketch; the job records
+    the measured lb_1m/hist_1m row ratio (the collapse measurement that
+    motivated the 1h+ default policy) in metrics, the manifest carries
+    the policy, and the cascaded 1h tier is identical to the default
+    path's direct 1h rollup (transient-1m equivalence)."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import lb_rollup
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.synth import synth_transcripts
+
+    store_path = str(tmp_path / "tiers_lb0")
+    m1 = job_main(
+        ["--input", "synth:40", "--store", store_path,
+         "--master", "local[4]", "--sketch", "--lb-tier0"]
+    )
+    assert m1["tiers"]["lb_1m"]["written_days"] > 0
+    assert m1["tiers"]["lb_1h"]["written_days"] > 0
+    ratio = m1["lb_tier0_rows_ratio"]
+    assert ratio is not None and ratio > 0
+
+    store = TierStore(store_path)
+    snap = store.manifest("lb_1m")["snapshots"][-1]["run_params"]
+    assert snap["lb_tier0_policy"] == "1m"
+
+    # cascading the persisted 1m equals the default path's direct 1h
+    stored = (
+        store.read_tier(spark, "lb_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    turns = synth_transcripts(spark, n_convs=40)
+    direct = (
+        lb_rollup(
+            turns.select(
+                "conv_id", "ts",
+                F.length("text").cast("long").alias("text_len"),
+            ),
+            "1h",
+            value_col="text_len",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(stored) == len(direct) > 0
+    assert (stored["bucket"] == direct["bucket"]).all()
+    assert (stored["cnt"] == direct["cnt"]).all()
