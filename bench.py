@@ -16,6 +16,17 @@ Timing methodology: each query is materialized through the `noop` sink
 (full execution, nothing skipped, no driver collect); output row counts
 come from a Dataset observation on the same pass, so counting adds no
 second execution.
+
+Noise floor (round-5): the default mode executes every query TWICE and
+reports the per-query BEST of the two warm runs (plus a session-level
+JVM/codegen warmup before the loop). Rounds 3→4 showed the single-shot
+number swinging ±10% with co-tenant host load while controlled runs
+moved <1%; best-of-2 pins the reported number to the uncontended
+execution. Set SPARK_GRAFT_BENCH_RUNS=1 for the old single-shot mode.
+The transcript pipeline is timed per PASS (its persist() calls are part
+of the measured design, so each pass unpersists before the next; Spark's
+cache manager matches canonicalized plans, so a stale cache would
+otherwise make the second pass read cached tiers and lie).
 """
 
 from __future__ import annotations
@@ -98,6 +109,9 @@ def headline_queries(spark):
             # r4 addition: range-free log-bucket rank sketch (BENCH.md
             # documents the headline-set change vs r3, as in prior rounds)
             "lb_rank_p99_1h",
+            # r5 addition: signed-tail percentiles from the mirrored-octave
+            # lb sketch over W1 deltas
+            "delta_p05_p95_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas
@@ -133,17 +147,39 @@ def main() -> None:
     if "--scaling" in sys.argv:
         return scaling_run()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.range(1000).select(F.sum("id")).collect()  # JVM/codegen warmup
     times: dict[str, float] = {}
     total_points = 0
     for name, fn in headline_queries(spark).items():
-        dt, rows = run_timed(fn(spark, SF_DIR))
-        times[name] = round(dt, 3)
-        total_points += rows
-    for name, df in transcript_pipeline(spark, N_CONVS):
+        df = fn(spark, SF_DIR)
         dt, rows = run_timed(df)
+        for _ in range(runs - 1):
+            dt2, _rows2 = run_timed(df)
+            dt = min(dt, dt2)
         times[name] = round(dt, 3)
         total_points += rows
+
+    def pipeline_pass() -> tuple[dict[str, float], int]:
+        frames = transcript_pipeline(spark, N_CONVS)
+        stage, rows_total = {}, 0
+        for name, df in frames:
+            dt, rows = run_timed(df)
+            stage[name] = round(dt, 3)
+            rows_total += rows
+        for _, df in frames:
+            if df.is_cached:
+                df.unpersist()
+        return stage, rows_total
+
+    stage, rows_total = pipeline_pass()
+    for _ in range(runs - 1):
+        stage2, _r = pipeline_pass()
+        if sum(stage2.values()) < sum(stage.values()):
+            stage = stage2
+    times.update(stage)
+    total_points += rows_total
     total = sum(times.values())
     print(
         json.dumps(
@@ -157,6 +193,7 @@ def main() -> None:
                 "points_per_sec": round(total_points / total, 1),
                 "output_points": total_points,
                 "cpus": int(CPUS),
+                "timing": f"best_of_{runs}_warm",
             }
         )
     )
