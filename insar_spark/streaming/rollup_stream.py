@@ -461,6 +461,63 @@ def streaming_distinct_by_role_1m(
     )
 
 
+def lb_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "lb_1m_log",
+    fine_tier: str = "lb_1m",
+    coarse_tier: str = "lb_1h",
+) -> DataFrame:
+    """Real-time continuous aggregate ACROSS retention tiers — the
+    TimescaleDB real-time-aggregate pattern: serve "p99 over the last
+    24 h right now" by stitching three layers, coarsest-first:
+
+      1. committed ``lb_1h`` day partitions (sealed, cascaded, cheap),
+      2. the sealed ``lb_1m`` layer cascaded to 1h on the fly for days
+         the 1h cascade hasn't sealed yet,
+      3. the live epoch log (update-mode partials still inside the
+         watermark), latest-epoch-wins, also cascaded to 1h.
+
+    No double counting: each finer layer is filtered to the days the
+    coarser committed tier does NOT cover (day is the seal granularity,
+    so day-level exclusion is exact). Because the lb merge is a plain
+    sum, cascading live 1m partials to 1h is legal mid-window — the
+    result is bit-equal to a batch 1h rollup over everything that has
+    arrived (stream==batch tested). At 100 TB the expensive layer (3)
+    is bounded by the watermark horizon; layers 1–2 are stored-tier
+    scans, never raw."""
+    from insar_spark.operators.sketch import lb_cascade
+
+    coarse_days = store.committed_days(coarse_tier)
+    try:
+        coarse = store.read_tier(spark, coarse_tier).drop("day")
+    except ValueError:
+        coarse = None
+    try:
+        fine = sealed_union_view(
+            spark, store, log_tier=log_tier, sealed_tier=fine_tier,
+            log_keys=("conv_id", "window_start", "bucket"),
+        )
+        live = lb_cascade(fine, "1h")
+    except ValueError:  # fine layers fully expired/truncated
+        live = None
+    if coarse is None and live is None:
+        raise ValueError(
+            f"none of '{coarse_tier}'/'{fine_tier}'/'{log_tier}' has data"
+        )
+    if coarse is None:
+        return live
+    if live is None:
+        return coarse
+    if coarse_days:
+        live = live.filter(
+            ~F.date_format("window_start", "yyyy-MM-dd").isin(
+                sorted(coarse_days)
+            )
+        )
+    return coarse.unionByName(live)
+
+
 def streaming_lb_1m(
     turns: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

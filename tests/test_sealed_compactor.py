@@ -375,6 +375,133 @@ def test_stream_seal_lb_rank_tier(spark, tmp_path, transcripts):
     ).all()
 
 
+def test_lb_realtime_view_stitches_three_tiers(spark, tmp_path, transcripts):
+    """Cross-tier real-time aggregate (the TimescaleDB pattern): "last
+    24h p99 right now" served from committed lb_1h days + sealed lb_1m
+    days the 1h cascade hasn't covered + the live epoch log — with all
+    THREE layers genuinely populated — is bit-equal to a batch 1h rollup
+    over every turn that has arrived."""
+    import datetime as dt
+
+    from insar_spark.operators.sketch import (
+        lb_cascade,
+        lb_merge_global,
+        lb_quantiles,
+        lb_rollup,
+    )
+    from insar_spark.streaming.rollup_stream import (
+        lb_realtime_1h_view,
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_lb_1m,
+    )
+
+    src = str(tmp_path / "drop_rt")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_rt"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_rt"),
+        watermark="60 minutes", tier="lb_1m_log",
+        rollup_builder=streaming_lb_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="lb_1m_log", sealed_tier="lb_1m",
+        watermark="60 minutes",
+        log_keys=("conv_id", "window_start", "bucket"),
+    )
+    assert len(seal["written_days"]) > 1
+
+    # cascade the sealed 1m to 1h with a STRICTER seal horizon (one day
+    # earlier), leaving at least one sealed day only in lb_1m — so the
+    # view must stitch coarse(1h) + mid(sealed 1m) + live(log)
+    sb = seal["seal_before"]
+    sb_1h = (dt.date.fromisoformat(sb) - dt.timedelta(days=1)).isoformat()
+    stored_1m = store.read_tier(spark, "lb_1m").drop("day")
+    store.write_tier(
+        lb_cascade(stored_1m, "1h"), "lb_1h",
+        run_params={"source": "test_cascade"}, seal_before=sb_1h,
+    )
+    coarse_days = store.committed_days("lb_1h")
+    mid_days = {d for d in store.committed_days("lb_1m")} - coarse_days
+    assert coarse_days and mid_days  # both stored layers contribute
+
+    view = lb_realtime_1h_view(spark, store)
+    got = (
+        view.toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        lb_rollup(
+            transcripts.select(
+                "conv_id", "ts",
+                F.length("text").cast("long").alias("text_len"),
+            ),
+            "1h",
+            value_col="text_len",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) > 0
+    assert (got["bucket"].to_numpy() == batch["bucket"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == batch["cnt"].to_numpy()).all()
+    # the live (log) layer really contributes: view covers days past the
+    # 1m seal horizon
+    assert (
+        got["window_start"].dt.strftime("%Y-%m-%d") >= sb
+    ).any()
+
+    # and the serve shape: last-24h fleet p99 equals the batch answer
+    hi = batch["window_start"].max()
+    lo = hi - dt.timedelta(hours=24)
+    served = (
+        lb_quantiles(
+            lb_merge_global(
+                view.filter(F.col("window_start") > F.lit(lo)), "1h"
+            ),
+            {"p99": 0.99},
+            ("window_start",),
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    batch_q = (
+        lb_quantiles(
+            lb_merge_global(
+                lb_rollup(
+                    transcripts.filter(
+                        F.date_trunc("hour", F.col("ts")) > F.lit(lo)
+                    ).select(
+                        "conv_id", "ts",
+                        F.length("text").cast("long").alias("text_len"),
+                    ),
+                    "1h",
+                    value_col="text_len",
+                ),
+                "1h",
+            ),
+            {"p99": 0.99},
+            ("window_start",),
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(served) == len(batch_q) > 0
+    assert (served["p99"].to_numpy() == batch_q["p99"].to_numpy()).all()
+    assert (
+        served["n_points"].to_numpy() == batch_q["n_points"].to_numpy()
+    ).all()
+
+
 def test_stream_seal_keyed_distinct_tier(spark, tmp_path, transcripts):
     """KEYED bitmap through the log->seal machinery: per-(role, window)
     distinct-conversation bitmaps stream with (role, window_start) log
