@@ -759,3 +759,171 @@ def lb_quantiles(
         "n_points",
         *[edge(f"_b_{name}", sub_bits).alias(name) for name in qs],
     )
+
+
+# --------------------------------------------- HyperLogLog register sketch
+#
+# The linear-counting bitmap above is exact-ish and cheap at low load
+# factor, but its estimate degrades as the bitmap fills and dies at
+# set=m — hence the load-factor flag and the m=2^20 global default. That
+# is a per-window ceiling of ~1 M distincts. The HLL register sketch
+# (Flajolet et al. 2007) removes the ceiling: m registers each keep the
+# MAX leading-zero run (rho) seen in their hash-suffix stream, so the
+# sketch counts billions of distincts in m small integers with relative
+# error ~1.04/sqrt(m) and CANNOT saturate — max() never overruns.
+# Together the two tiers cover the whole cardinality axis: the bitmap is
+# the low-range precision tool (exact bit count, ~1% error under its
+# load-factor ceiling), HLL the unbounded fleet-scale tool (~3% at
+# p=10, error flat forever).
+#
+# Same tall playbook as the lb sketch: one row per (key?, window,
+# register) holding max_rho. Merge/cascade = groupBy-MAX — associative,
+# commutative, idempotent (better than sum: replays are absorbed), so
+# the tier streams through the seal cycle and cascades 1m -> 1h -> 1d
+# unchanged. Per window at most m=2^p rows (1024 at p=10), sparse when
+# quiet — the stored tier stays tiny at 100 TB.
+#
+# Everything on the hash-gated contract surface is INTEGER: the register
+# id and rho come from the shared md5-60 hash (shared_hash.py — the
+# oracle recomputes them independently), and the harmonic-mean
+# denominator sum(2^-rho) is exposed scaled by 2^51 so it is an exact
+# int64 (each register term is a power of two <= 2^51; 1024 of them sum
+# below 2^62). The float estimate — alpha_m * m^2 * 2^51 / sum_scaled,
+# with the standard small-range linear-counting correction — is a
+# single deterministic expression over those integers, kept OUT of the
+# byte-hash contract like distinct_estimate and tolerance-tested in
+# pytest instead. Even the correction-regime flag is an integer compare
+# (sum_scaled >= HLL_LC_CUTOFF precomputed as one literal), so regime
+# selection is byte-stable cross-engine.
+
+HLL_P = 10  # 2^10 = 1024 registers -> stderr ~ 1.04/sqrt(m) = 3.25 %
+HLL_M = 1 << HLL_P
+# the md5-60 hash leaves 60 - p suffix bits; rho ranges 1..(60-p+1),
+# with the max value reserved for an all-zero suffix
+HLL_RHO_MAX = 60 - HLL_P + 1  # 51
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# small-range regime: raw_est <= 2.5*m  <=>  sum_scaled >= this cutoff
+# (one precomputed literal so the compare is pure int64 on both engines)
+HLL_LC_CUTOFF = int(HLL_ALPHA * HLL_M * (1 << HLL_RHO_MAX) / 2.5) + 1
+
+
+def hll_rho(hash_col: Column, p: int = HLL_P) -> Column:
+    """rho = leading-zero count of the (60-p)-bit hash suffix, plus one —
+    pure integer via length(bin(suffix)) (bit-length), the same
+    msb-by-binary-string trick the lb sketch uses, bit-reproducible in
+    DuckDB. All-zero suffix maps to the reserved max (60-p+1)."""
+    rho_max = 60 - p + 1
+    suffix = F.shiftright(hash_col, p)
+    return (
+        F.when(suffix == 0, F.lit(rho_max))
+        .otherwise(F.lit(rho_max) - F.length(F.bin(suffix)))
+        .cast("int")
+    )
+
+
+def hll_rollup(
+    df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
+    ts_col: str = "ts", p: int = HLL_P, group_col: str | None = None,
+) -> DataFrame:
+    """Tall HLL tier: one row per (group?, window, register) with the max
+    rho. One shuffle on (window, reg); max() partial-aggregates map-side,
+    so mega-window skew is absorbed exactly like the lb sketch's sum.
+    ``group_col`` adds the keyed dimension ("distinct convs per event
+    type per hour") the other sketch families already have."""
+    from insar_spark.functions.shared_hash import h60_col
+
+    unit = TIERS[tier]
+    m = 1 << p
+    h = h60_col(F.col(key_col).cast("string"))
+    group = [group_col] if group_col else []
+    base = df.select(
+        *group,
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+        hll_rho(h, p).alias("_rho"),
+    )
+    return base.groupBy(*group, "window_start", "reg").agg(
+        F.max("_rho").alias("max_rho")
+    )
+
+
+def hll_cascade(
+    rolled: DataFrame, tier: str, group_col: str | None = None
+) -> DataFrame:
+    """Coarsen an HLL tier: groupBy-MAX per (window, reg). Associative,
+    commutative AND idempotent — a replayed partition merges to the same
+    sketch, which is why the streaming seal cycle can carry this tier
+    with no dedup buffer."""
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    return (
+        rolled.groupBy(
+            *group,
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+            "reg",
+        )
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_read(
+    rolled: DataFrame, p: int = HLL_P, group_col: str | None = None
+) -> DataFrame:
+    """Serve an HLL tier: per (group?, window) the INTEGER contract
+    surface — present-register count, the 2^51-scaled harmonic-mean
+    denominator (absent registers contribute the full 2^51 each, i.e.
+    rho=0), and the small-range-regime flag as a pure int64 compare.
+    One groupBy-sum over the (tiny) stored tier. The float estimate is
+    :func:`hll_estimate` over these columns — off the byte-hash
+    contract, like distinct_estimate."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    group = [group_col] if group_col else []
+    agg = rolled.groupBy(*group, "window_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {rho_max} - max_rho)")
+        ).cast("long").alias("_present"),
+    )
+    sum_scaled = (
+        F.col("_present")
+        + (F.lit(m) - F.col("n_regs")) * F.lit(1 << rho_max)
+    )
+    return agg.select(
+        *group,
+        "window_start",
+        "n_regs",
+        sum_scaled.cast("long").alias("sum_scaled"),
+        (
+            (F.col("n_regs") < m)
+            & (sum_scaled >= F.lit(HLL_LC_CUTOFF))
+        ).cast("int").alias("lc_regime"),
+    )
+
+
+def hll_estimate(
+    n_regs_col: str | Column, sum_scaled_col: str | Column, p: int = HLL_P
+) -> Column:
+    """Cardinality estimate from the integer contract columns: raw HLL
+    harmonic mean alpha_m * m^2 * 2^51 / sum_scaled, switched to linear
+    counting m*ln(m/V) in the small-range regime (raw <= 2.5m with V > 0
+    empty registers, per Flajolet et al. 2007). Transcendental in the
+    small-range branch — NOT part of the byte-hash contract;
+    tolerance-tested in pytest like distinct_estimate."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    n = F.col(n_regs_col) if isinstance(n_regs_col, str) else n_regs_col
+    s = (
+        F.col(sum_scaled_col)
+        if isinstance(sum_scaled_col, str)
+        else sum_scaled_col
+    )
+    raw = (
+        F.lit(HLL_ALPHA * float(m) * float(m) * float(1 << rho_max))
+        / s.cast("double")
+    )
+    v = (F.lit(m) - n).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    in_lc = (n < m) & (s >= F.lit(HLL_LC_CUTOFF))
+    return F.when(in_lc, lc).otherwise(raw)

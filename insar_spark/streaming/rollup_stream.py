@@ -590,3 +590,31 @@ def streaming_distinct_1m(
             F.array(*[F.col(f"_w{i}") for i in range(words)]).alias("bitmap"),
         )
     )
+
+
+def streaming_hll_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m HLL register tier over a transcript stream — the
+    unbounded-cardinality companion to :func:`streaming_distinct_1m`.
+    ``max(rho)`` per (window, register) is an ordinary incremental
+    aggregate (and idempotent, so replayed micro-batches are absorbed
+    with no dedup buffer), so the streamed tier merges bit-for-bit with
+    batch-built HLL sketches (stream == batch test) and, unlike the
+    bitmap, can never saturate — "active conversations this hour" stays
+    servable live at fleet cardinality."""
+    from insar_spark.functions.shared_hash import h60_col
+    from insar_spark.operators.sketch import HLL_M, hll_rho
+
+    h = h60_col(F.col("conv_id").cast("string"))
+    return (
+        turns.select(
+            "ts",
+            F.pmod(h, F.lit(HLL_M)).cast("int").alias("reg"),
+            hll_rho(h).alias("_rho"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "reg")
+        .agg(F.max("_rho").alias("max_rho"))
+        .select(F.col("w.start").alias("window_start"), "reg", "max_rho")
+    )

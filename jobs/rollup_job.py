@@ -53,9 +53,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument(
         "--sketch",
         action="store_true",
-        help="also maintain the mergeable histogram-sketch tiers "
-        "(hist_1m -> hist_1h over text_len): same TierStore commit/"
-        "resume/expiry semantics, cascade reads the STORED finer tier",
+        help="also maintain the mergeable sketch tiers: fixed-edge "
+        "histogram (hist_1m -> hist_1h over text_len), range-free "
+        "log-bucket rank sketch (lb_1h -> lb_1d; 1m opt-in via "
+        "--lb-tier0), tall distinct-count bitmap (dist_1m -> dist_1h, "
+        "m=2^20) and HLL registers (hll_1m -> hll_1h, unbounded "
+        "cardinality). Same TierStore commit/resume/expiry semantics; "
+        "every cascade reads the STORED finer tier",
     )
     p.add_argument(
         "--lb-tier0",
@@ -280,9 +284,46 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # HLL register tier: the UNBOUNDED-cardinality companion to the
+        # bitmap — the bitmap is the low-range precision tool (exact bit
+        # count below its load-factor ceiling), HLL the fleet-scale one
+        # (~3% error flat forever; max-merge is idempotent so replays
+        # are free). Global tier at 1m is bounded at 2^p rows per window
+        # regardless of traffic, so tier-0 persistence is always cheap —
+        # no lb-style store policy needed. p rides the manifest like the
+        # hist edges / distinct m, so readers derive the register count
+        # (and LC-regime cutoff) from the stored tier alone.
+        from insar_spark.operators.sketch import (
+            HLL_P,
+            hll_cascade,
+            hll_rollup,
+        )
+
+        hll_params = {**run_params, "hll_p": HLL_P}
+        res = store.write_tier(
+            hll_rollup(turns.select("conv_id", "ts"), "1m"),
+            "hll_1m",
+            run_params=hll_params,
+        )
+        metrics["tiers"]["hll_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_hll1m = store.read_tier(spark, "hll_1m").drop("day")
+        res = store.write_tier(
+            hll_cascade(stored_hll1m, "1h"), "hll_1h", run_params=hll_params
+        )
+        metrics["tiers"]["hll_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
-            ("hist_1m", "hist_1h", "lb_1h", "lb_1d", "dist_1m", "dist_1h")
+            (
+                "hist_1m", "hist_1h", "lb_1h", "lb_1d",
+                "dist_1m", "dist_1h", "hll_1m", "hll_1h",
+            )
             + (("lb_1m",) if args.lb_tier0 else ())
             if args.sketch
             else ()

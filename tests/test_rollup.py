@@ -769,3 +769,91 @@ def test_hist_saturated_flags_lo_side_clamp(spark):
     assert got["L"]["p95"] == lo + step and got["L"]["sat"] is True
     assert got["C"]["n_clamped_lo"] == 0
     assert got["C"]["p95"] == lo + step and got["C"]["sat"] is False
+
+
+def test_hll_sketch_cascade_exact_and_estimate_bounded(spark):
+    """HLL register tier: (a) 1m->1h max-cascade == direct 1h build,
+    (b) idempotent under replay (union of the tier with itself merges to
+    the identical sketch), (c) estimate within 6 sigma (sigma =
+    1.04/sqrt(1024) ~ 3.25%) across four decades of true cardinality —
+    including well past the linear-counting bitmap's m=1024 ceiling,
+    the whole point of the tier."""
+    import pandas as pd
+
+    from insar_spark.operators.sketch import (
+        HLL_M,
+        hll_cascade,
+        hll_estimate,
+        hll_read,
+        hll_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    frames = []
+    for hour, n in [(0, 40), (1, 700), (2, 20_000), (3, 300_000)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": [f"h{hour}-c{i}" for i in range(n)],
+                    "ts": pd.Timestamp(f"2026-01-01 {hour:02d}:00:00")
+                    + pd.to_timedelta(
+                        [i % 3600 for i in range(n)], unit="s"
+                    ),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+
+    t1m = hll_rollup(df, "1m")
+    via_cascade = hll_cascade(t1m, "1h")
+    direct = hll_rollup(df, "1h")
+    key = ["window_start", "reg"]
+    a = {tuple(r) for r in via_cascade.select(*key, "max_rho").collect()}
+    b = {tuple(r) for r in direct.select(*key, "max_rho").collect()}
+    assert a == b, "1m->1h max-cascade must equal the direct 1h build"
+
+    replayed = hll_cascade(t1m.unionAll(t1m), "1h")
+    c = {tuple(r) for r in replayed.select(*key, "max_rho").collect()}
+    assert c == b, "replayed partitions must merge idempotently"
+
+    served = hll_read(direct).withColumn(
+        "est", hll_estimate("n_regs", "sum_scaled")
+    )
+    got = {
+        r["window_start"].hour: r
+        for r in served.collect()
+    }
+    sigma = 1.04 / (HLL_M ** 0.5)
+    for hour, n in [(0, 40), (1, 700), (2, 20_000), (3, 300_000)]:
+        est = got[hour]["est"]
+        assert abs(est - n) <= 6 * sigma * n + 3, (
+            f"hour {hour}: est {est} vs true {n}"
+        )
+    # the two big hours exceed the bitmap tier's m=1024 ceiling; the HLL
+    # raw regime must be active there (lc_regime=0), and the small hour
+    # must sit in the linear-counting regime
+    assert got[0]["lc_regime"] == 1
+    assert got[3]["lc_regime"] == 0
+
+
+def test_hll_rho_register_bounds(spark):
+    """Every (reg, rho) drawn from random keys stays in the documented
+    domain: reg in [0, 1024), rho in [1, 51] — the invariant the tall
+    tier's schema and the 2^51 scaling rely on."""
+    from insar_spark.functions.shared_hash import h60_col
+    from insar_spark.operators.sketch import HLL_M, hll_rho
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    h = h60_col(F.col("k"))
+    stats = df.select(
+        F.pmod(h, F.lit(HLL_M)).cast("int").alias("reg"),
+        hll_rho(h).alias("rho"),
+    ).agg(
+        F.min("reg"), F.max("reg"), F.min("rho"), F.max("rho")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] < HLL_M
+    assert stats[2] >= 1 and stats[3] <= 51

@@ -72,12 +72,17 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m1["tiers"]["dist_1m"]["written_days"] > 0
     assert m1["tiers"]["dist_1h"]["written_days"] > 0
 
+    assert m1["tiers"]["hll_1m"]["written_days"] > 0
+    assert m1["tiers"]["hll_1h"]["written_days"] > 0
+
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
     assert m2["tiers"]["hist_1h"]["written_days"] == 0
     assert m2["tiers"]["lb_1h"]["written_days"] == 0
     assert m2["tiers"]["lb_1d"]["written_days"] == 0
     assert m2["tiers"]["dist_1m"]["written_days"] == 0
+    assert m2["tiers"]["hll_1m"]["written_days"] == 0
+    assert m2["tiers"]["hll_1h"]["written_days"] == 0
 
     store = TierStore(store_path)
     stored = (
@@ -181,6 +186,31 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert len(stored_d) == len(direct_d) > 0
     assert (stored_d["word"] == direct_d["word"]).all()
     assert (stored_d["wv"] == direct_d["wv"]).all()
+
+    # the HLL register tier rides the same store: p in the manifest
+    # (reader derives register count + LC cutoff from the stored tier),
+    # and the stored max-cascade equals a direct 1h rollup of raw turns
+    from insar_spark.operators.sketch import HLL_P, hll_rollup
+
+    for hll_tier in ("hll_1m", "hll_1h"):
+        snap = store.manifest(hll_tier)["snapshots"][-1]["run_params"]
+        assert snap["hll_p"] == HLL_P
+    stored_hll = (
+        store.read_tier(spark, "hll_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(["window_start", "reg"])
+        .reset_index(drop=True)
+    )
+    direct_hll = (
+        hll_rollup(turns.select("conv_id", "ts"), "1h")
+        .toPandas()
+        .sort_values(["window_start", "reg"])
+        .reset_index(drop=True)
+    )
+    assert len(stored_hll) == len(direct_hll) > 0
+    assert (stored_hll["reg"] == direct_hll["reg"]).all()
+    assert (stored_hll["max_rho"] == direct_hll["max_rho"]).all()
 
 
 def test_job_lb_tier0_opt_in_records_collapse_ratio(spark, tmp_path):

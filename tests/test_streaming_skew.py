@@ -396,3 +396,42 @@ def test_streaming_distinct_bitmap_matches_batch(spark, tmp_path, transcripts):
     )
     assert len(g) == len(e) > 0
     assert [list(b) for b in g["bitmap"]] == [list(b) for b in e["bitmap"]]
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path, transcripts):
+    """Streaming-built 1m HLL register sketch == batch hll_rollup on the
+    same turns — unbounded streaming count-distinct with zero custom
+    state (max(rho) is incremental AND idempotent across micro-batches)."""
+    from insar_spark.operators.sketch import hll_rollup
+    from insar_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        streaming_hll_1m,
+    )
+
+    src = str(tmp_path / "hll_src")
+    transcripts.write.mode("overwrite").parquet(src)
+
+    stream = streaming_hll_1m(
+        read_transcript_stream(spark, src, max_files_per_trigger=None)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll1m_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    key = ["window_start", "reg", "max_rho"]
+    g = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM hll1m_stream").select(*key).collect()
+    }
+    e = {
+        tuple(r)
+        for r in hll_rollup(transcripts.select("conv_id", "ts"), "1m")
+        .select(*key)
+        .collect()
+    }
+    assert g == e and len(g) > 0
