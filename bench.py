@@ -112,6 +112,8 @@ def headline_queries(spark):
             # r5 addition: signed-tail percentiles from the mirrored-octave
             # lb sketch over W1 deltas
             "delta_p05_p95_1h",
+            # r5 addition: unbounded-cardinality HLL register tier
+            "distinct_hll_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

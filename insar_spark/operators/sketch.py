@@ -325,14 +325,22 @@ def distinct_rollup(
 
     words = m // 32
     unit = TIERS[tier]
-    p = F.pmod(h60_col(F.col(key_col).cast("string")), F.lit(m))
     group = [group_col] if group_col else []
-    base = df.select(
+    # bind the md5 position in its own projection (word and bit both
+    # consume it; CollapseProject won't duplicate a non-cheap expression)
+    hashed = df.select(
         *group,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
-        F.floor(p / 32).cast("int").alias("_word"),
+        F.pmod(
+            h60_col(F.col(key_col).cast("string")), F.lit(m)
+        ).alias("_p"),
+    )
+    base = hashed.select(
+        *group,
+        "window_start",
+        F.floor(F.col("_p") / 32).cast("int").alias("_word"),
         F.expr("cast(1 as bigint)").alias("_one"),
-        (p % 32).cast("int").alias("_bit"),
+        (F.col("_p") % 32).cast("int").alias("_bit"),
     ).withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
     aggs = [
         F.coalesce(
@@ -438,14 +446,20 @@ def distinct_rollup_tall(
     unit = TIERS[tier]
     from insar_spark.functions.shared_hash import h60_col
 
-    p = F.pmod(h60_col(F.col(key_col).cast("string")), F.lit(m))
     group = [group_col] if group_col else []
-    base = df.select(
+    hashed = df.select(
         *group,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
-        F.floor(p / 32).cast("int").alias("word"),
+        F.pmod(
+            h60_col(F.col(key_col).cast("string")), F.lit(m)
+        ).alias("_p"),
+    )
+    base = hashed.select(
+        *group,
+        "window_start",
+        F.floor(F.col("_p") / 32).cast("int").alias("word"),
         F.expr("cast(1 as bigint)").alias("_one"),
-        (p % 32).cast("int").alias("_bit"),
+        (F.col("_p") % 32).cast("int").alias("_bit"),
     ).withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
     return (
         base.groupBy(*group, "window_start", "word")
@@ -835,13 +849,21 @@ def hll_rollup(
 
     unit = TIERS[tier]
     m = 1 << p
-    h = h60_col(F.col(key_col).cast("string"))
     group = [group_col] if group_col else []
-    base = df.select(
+    # bind the md5 hash in its own projection: reg and rho both consume
+    # it, and CollapseProject will not inline a non-cheap expression
+    # into multiple consumers — one md5 per row instead of three
+    # (measured 21% off the warm full-query time at sf0.1)
+    hashed = df.select(
         *group,
         F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
-        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
-        hll_rho(h, p).alias("_rho"),
+        h60_col(F.col(key_col).cast("string")).alias("_h"),
+    )
+    base = hashed.select(
+        *group,
+        "window_start",
+        F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("reg"),
+        hll_rho(F.col("_h"), p).alias("_rho"),
     )
     return base.groupBy(*group, "window_start", "reg").agg(
         F.max("_rho").alias("max_rho")

@@ -432,13 +432,20 @@ def streaming_distinct_by_role_1m(
     from insar_spark.operators.sketch import DISTINCT_M
 
     words = DISTINCT_M // 32
-    p = F.pmod(h60_col(F.col("conv_id").cast("string")), F.lit(DISTINCT_M))
     base = (
         turns.select(
             "role",
             "ts",
-            F.floor(p / 32).cast("int").alias("_word"),
-            (p % 32).cast("int").alias("_bit"),
+            F.pmod(
+                h60_col(F.col("conv_id").cast("string")),
+                F.lit(DISTINCT_M),
+            ).alias("_p"),
+        )
+        .select(
+            "role",
+            "ts",
+            F.floor(F.col("_p") / 32).cast("int").alias("_word"),
+            (F.col("_p") % 32).cast("int").alias("_bit"),
         )
         .withColumn("_one", F.expr("cast(1 as bigint)"))
         .withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
@@ -565,12 +572,18 @@ def streaming_distinct_1m(
     from insar_spark.operators.sketch import DISTINCT_M
 
     words = DISTINCT_M // 32
-    p = F.pmod(h60_col(F.col("conv_id").cast("string")), F.lit(DISTINCT_M))
     base = (
         turns.select(
             "ts",
-            F.floor(p / 32).cast("int").alias("_word"),
-            (p % 32).cast("int").alias("_bit"),
+            F.pmod(
+                h60_col(F.col("conv_id").cast("string")),
+                F.lit(DISTINCT_M),
+            ).alias("_p"),
+        )
+        .select(
+            "ts",
+            F.floor(F.col("_p") / 32).cast("int").alias("_word"),
+            (F.col("_p") % 32).cast("int").alias("_bit"),
         )
         .withColumn("_one", F.expr("cast(1 as bigint)"))
         .withColumn("_mask", F.expr("shiftleft(_one, _bit)"))
@@ -606,12 +619,14 @@ def streaming_hll_1m(
     from insar_spark.functions.shared_hash import h60_col
     from insar_spark.operators.sketch import HLL_M, hll_rho
 
-    h = h60_col(F.col("conv_id").cast("string"))
     return (
         turns.select(
+            "ts", h60_col(F.col("conv_id").cast("string")).alias("_h")
+        )
+        .select(
             "ts",
-            F.pmod(h, F.lit(HLL_M)).cast("int").alias("reg"),
-            hll_rho(h).alias("_rho"),
+            F.pmod(F.col("_h"), F.lit(HLL_M)).cast("int").alias("reg"),
+            hll_rho(F.col("_h")).alias("_rho"),
         )
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 minute").alias("w"), "reg")

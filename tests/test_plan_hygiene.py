@@ -43,6 +43,7 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("hist_p95_global_1h", 2, 0),  # per-conv 1m + global merge
         ("top_tokens_per_source", 3, 0),  # token agg + distinct + topk
         ("distinct_convs_1h", 2, 0),  # 1m bitmap + bit_or cascade
+        ("distinct_hll_1h", 3, 0),  # 1m regs + max cascade + read agg
         ("doc_oov_rate", 3, 0),  # vocab agg + doc_id aggs, broadcast join
     ],
 )
