@@ -207,3 +207,14 @@ def sql_winnow(kgram_hashes: str, window: int) -> str:
         f"ELSE list_transform(range(1, len({kgram_hashes}) - {window} + 2), "
         f"i -> list_min({kgram_hashes}[i:i + {window - 1}])) END))"
     )
+
+
+def py_h60(s: str) -> int:
+    """Driver-side twin of :func:`h60_col` / :func:`sql_h60` (same md5,
+    same top-15-hex-chars parse). Used to precompute PROBE literals —
+    e.g. the (row, cell) coordinates of a candidate item in a count-min
+    sketch — so the serve plan filters the stored tier on constants
+    instead of hashing at read time. Never in the hot path."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -949,3 +949,145 @@ def hll_estimate(
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     in_lc = (n < m) & (s >= F.lit(HLL_LC_CUTOFF))
     return F.when(in_lc, lc).otherwise(raw)
+
+
+# ------------------------------------------------ count-min frequency sketch
+#
+# Fourth mergeable-sketch family: FREQUENCY. The tier question "how many
+# turns did conversation X contribute this hour?" needs per-(window, key)
+# counts — at 10^12 turns that exact table is billions of rows per day,
+# and the only reason to keep it is to find the heavy keys (the
+# mega-conversations the skew-handling paths salt around). The count-min
+# sketch (Cormode & Muthukrishnan 2005) answers point-frequency queries
+# from d*w counters per window: cell (j, h_j(x)) accumulates every
+# occurrence of x; the estimate min_j cnt[j][h_j(x)] is NEVER an
+# undercount and overshoots by at most eps*N (eps = e/w) with
+# probability 1 - delta (delta = e^-d). With d=4, w=2048 a window costs
+# at most 8192 tall rows no matter how many distinct keys it saw.
+#
+# Hashes are the same public universal family the MinHash permutations
+# use — h_j(x) = ((a_j * (h60(x) mod P31) + b_j) mod P31) mod w with
+# seeded (a_j, b_j) literals inlined on both engines — so the sketch is
+# integer-exact and the DuckDB oracle replays it bit-for-bit. Merge and
+# cascade are plain groupBy-SUM over (window, row, cell): associative,
+# exact, map-side partial-agged. The d-way per-input fan-out happens
+# map-side and collapses to <= d*w rows per window inside the partial
+# agg, so the shuffle carries sketch-sized data, not d x raw.
+#
+# Serving is probe-shaped: candidate keys' (row, cell) coordinates are
+# PRECOMPUTED driver-side (shared_hash.py_h60 — same md5, ~zero cost for
+# a bounded watchlist) and the plan filters the stored tier on those
+# constant cells, then takes min per (window, key) — a broadcast
+# semi-probe, never a raw-table groupBy. A cell with no stored row means
+# count 0, so a key seen in fewer than d cells estimates 0 via the
+# count(*)-complete guard.
+
+CMS_D = 4  # sketch rows -> overestimate prob per query <= e^-4 ~ 1.8 %
+CMS_W = 2048  # cells per row -> overestimate <= e/2048 * N ~ 0.13 % of N
+CMS_SEED = 91  # perm_params seed for the (a_j, b_j) literals
+
+
+def cms_params(d: int = CMS_D, seed: int = CMS_SEED):
+    """Seeded universal-hash literals shared by build, probe and oracle."""
+    from insar_spark.functions.shared_hash import perm_params
+
+    return perm_params(d, seed=seed)
+
+
+def cms_rollup(
+    df: DataFrame, tier: str = "1m", item_col: str = "conv_id",
+    ts_col: str = "ts", d: int = CMS_D, w: int = CMS_W,
+    seed: int = CMS_SEED, group_col: str | None = None,
+) -> DataFrame:
+    """Tall count-min tier: one row per (group?, window, row j, cell)
+    with the occurrence count. The d-way fan-out is a map-side inline
+    array (no join, md5 computed ONCE per input row via the bound
+    projection); groupBy (window, j, cell) sums with map-side partials,
+    so the exchange carries at most d*w rows per window per partition."""
+    from insar_spark.functions.shared_hash import P31, h60_col
+
+    a, b = cms_params(d, seed)
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    hashed = df.select(
+        *group,
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.pmod(
+            h60_col(F.col(item_col).cast("string")), F.lit(P31)
+        ).alias("_x"),
+    )
+    cells = hashed.select(
+        *group,
+        "window_start",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.pmod(
+                            F.lit(a[j]) * F.col("_x") + F.lit(b[j]),
+                            F.lit(P31),
+                        ),
+                        F.lit(w),
+                    ).cast("int")
+                    for j in range(d)
+                ]
+            )
+        ).alias("row_j", "cell"),
+    )
+    return cells.groupBy(*group, "window_start", "row_j", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_cascade(
+    rolled: DataFrame, tier: str, group_col: str | None = None
+) -> DataFrame:
+    """Coarsen a count-min tier: groupBy-sum per (window, row, cell) —
+    associative, exact, the same shape as lb_cascade."""
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    return (
+        rolled.groupBy(
+            *group,
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+            "row_j",
+            "cell",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_probe(
+    spark, rolled: DataFrame, items: list[str], d: int = CMS_D,
+    w: int = CMS_W, seed: int = CMS_SEED, item_alias: str = "item",
+) -> DataFrame:
+    """Point-frequency estimates for a candidate watchlist: est(x) =
+    min over the d cells (0 if any cell is absent — count-min never
+    undercounts, so an absent cell means the true count is 0). The
+    candidates' (row, cell) coordinates are computed DRIVER-SIDE with
+    the shared md5 twin and broadcast; the stored tier is filtered to
+    those constant cells before the min — sketch-sized work end to end.
+    """
+    from insar_spark.functions.shared_hash import P31, py_h60
+
+    a, b = cms_params(d, seed)
+    coords = [
+        (x, j, int((a[j] * (py_h60(x) % P31) + b[j]) % P31 % w))
+        for x in items
+        for j in range(d)
+    ]
+    cand = spark.createDataFrame(
+        coords, schema=f"{item_alias} string, row_j int, cell int"
+    )
+    joined = rolled.join(
+        F.broadcast(cand), on=["row_j", "cell"], how="inner"
+    )
+    return (
+        joined.groupBy("window_start", item_alias)
+        .agg(
+            F.when(F.count(F.lit(1)) < d, F.lit(0).cast("long"))
+            .otherwise(F.min("cnt"))
+            .alias("est_count"),
+            F.count(F.lit(1)).cast("int").alias("n_cells"),
+        )
+    )

@@ -44,6 +44,7 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("top_tokens_per_source", 3, 0),  # token agg + distinct + topk
         ("distinct_convs_1h", 2, 0),  # 1m bitmap + bit_or cascade
         ("distinct_hll_1h", 3, 0),  # 1m regs + max cascade + read agg
+        ("hot_convs_cms_1h", 3, 0),  # 1m cells + sum cascade + probe agg
         ("doc_oov_rate", 3, 0),  # vocab agg + doc_id aggs, broadcast join
     ],
 )

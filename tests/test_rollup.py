@@ -857,3 +857,57 @@ def test_hll_rho_register_bounds(spark):
     ).collect()[0]
     assert stats[0] >= 0 and stats[1] < HLL_M
     assert stats[2] >= 1 and stats[3] <= 51
+
+
+def test_cms_sketch_never_undercounts_and_cascade_exact(spark):
+    """Count-min invariants on a known workload: (a) 1m->1h sum-cascade
+    == direct 1h build, (b) the probe NEVER undercounts any true count
+    and overshoots by <= e/w * N (the CMS guarantee, deterministic here
+    because the hashes are fixed), (c) an unseen watchlist key estimates
+    0 via the absent-cell short-circuit."""
+    import pandas as pd
+
+    from insar_spark.operators.sketch import (
+        CMS_W,
+        cms_cascade,
+        cms_probe,
+        cms_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # hour 0: key "hot" x 500, keys k0..k99 x 3 each; total N = 800
+    rows = [("hot", i) for i in range(500)] + [
+        (f"k{i}", 500 + 3 * i + r) for i in range(100) for r in range(3)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [k for k, _ in rows],
+            "ts": pd.Timestamp("2026-01-01 00:00:00")
+            + pd.to_timedelta([s % 3600 for _, s in rows], unit="s"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    t1m = cms_rollup(df, "1m", item_col="conv_id")
+    via = cms_cascade(t1m, "1h")
+    direct = cms_rollup(df, "1h", item_col="conv_id")
+    key = ["window_start", "row_j", "cell", "cnt"]
+    assert {tuple(r) for r in via.select(*key).collect()} == {
+        tuple(r) for r in direct.select(*key).collect()
+    }
+
+    truth = {"hot": 500, "k0": 3, "k42": 3, "k99": 3, "never-seen": 0}
+    probed = {
+        r["item"]: r["est_count"]
+        for r in cms_probe(spark, via, list(truth)).collect()
+    }
+    n_total = len(rows)
+    import math
+
+    eps = math.e / CMS_W
+    for k, true_cnt in truth.items():
+        est = probed.get(k, 0)  # absent from probe output == all cells 0
+        assert est >= true_cnt, f"{k}: CMS undercounted {est} < {true_cnt}"
+        assert est <= true_cnt + eps * n_total + 1, (
+            f"{k}: overshoot beyond the eps*N bound: {est} vs {true_cnt}"
+        )
