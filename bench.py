@@ -112,8 +112,10 @@ def headline_queries(spark):
             # r5 addition: signed-tail percentiles from the mirrored-octave
             # lb sketch over W1 deltas
             "delta_p05_p95_1h",
-            # r5 addition: unbounded-cardinality HLL register tier
+            # r5 additions: unbounded-cardinality HLL register tier and
+            # count-min frequency tier (watchlist probe)
             "distinct_hll_1h",
+            "hot_convs_cms_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

@@ -166,6 +166,39 @@ def run_cycle(
             )
             lseal["cascaded"]["lb_1h"] = rl["written_days"]
         seal["sketch_lb"] = lseal
+
+        # the HLL register tier (unbounded distinct counts) seals with
+        # (window, reg) log keys; its max-merge is idempotent, so
+        # latest-epoch-wins IS the merge — no replay special-casing
+        from insar_spark.operators.sketch import HLL_P, hll_cascade
+        from insar_spark.streaming.rollup_stream import streaming_hll_1m
+
+        qh2 = stream_to_tierstore(
+            spark, src, store, checkpoint_dir=checkpoint + "_hll",
+            watermark=watermark, tier="hll_1m_log",
+            rollup_builder=streaming_hll_1m,
+        )
+        try:
+            qh2.processAllAvailable()
+        finally:
+            qh2.stop()
+        hllseal = seal_and_compact(
+            spark, store, log_tier="hll_1m_log", sealed_tier="hll_1m",
+            watermark=watermark, log_keys=("window_start", "reg"),
+        )
+        hllseal["cascaded"] = {}
+        if hllseal["written_days"]:
+            stored_hll = store.read_tier(spark, "hll_1m").drop("day")
+            rhll = store.write_tier(
+                hll_cascade(stored_hll, "1h"), "hll_1h",
+                run_params={
+                    "source": "stream_cycle_cascade",
+                    "hll_p": HLL_P,
+                },
+                seal_before=hllseal["seal_before"],
+            )
+            hllseal["cascaded"]["hll_1h"] = rhll["written_days"]
+        seal["sketch_hll"] = hllseal
     return seal
 
 
@@ -227,6 +260,13 @@ def main(argv: list[str] | None = None) -> dict:
             metrics["sealed_hist_days"] = len(seal["sketch"]["written_days"])
             metrics["cascaded_hist_1h_days"] = len(
                 seal["sketch"]["cascaded"].get("hist_1h", [])
+            )
+            metrics["sealed_lb_days"] = len(seal["sketch_lb"]["written_days"])
+            metrics["sealed_hll_days"] = len(
+                seal["sketch_hll"]["written_days"]
+            )
+            metrics["cascaded_hll_1h_days"] = len(
+                seal["sketch_hll"]["cascaded"].get("hll_1h", [])
             )
         print(json.dumps(metrics), flush=True)
         if args.drain or (args.max_cycles and cycle >= args.max_cycles):

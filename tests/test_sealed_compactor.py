@@ -555,3 +555,51 @@ def test_stream_seal_keyed_distinct_tier(spark, tmp_path, transcripts):
     assert [list(b) for b in sealed["bitmap"]] == [
         list(b) for b in direct["bitmap"]
     ]
+
+
+def test_stream_seal_hll_tier(spark, tmp_path, transcripts):
+    """The HLL register tier through the log->seal machinery: streams via
+    the generic rollup_builder with (window, reg) log keys; sealed days
+    are bit-equal to the batch hll_rollup over the same turns. The merge
+    being MAX (idempotent) means latest-epoch-wins sealing needs no
+    special casing — the running max in the newest epoch IS the merge."""
+    from insar_spark.operators.sketch import hll_rollup
+    from insar_spark.streaming.rollup_stream import (
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_hll_1m,
+    )
+
+    src = str(tmp_path / "drop_hll")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_hll"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_hll"),
+        watermark="60 minutes", tier="hll_1m_log",
+        rollup_builder=streaming_hll_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="hll_1m_log", sealed_tier="hll_1m",
+        watermark="60 minutes", log_keys=("window_start", "reg"),
+    )
+    assert len(seal["written_days"]) > 0
+
+    key = ["window_start", "reg", "max_rho"]
+    sealed = {
+        tuple(r)
+        for r in store.read_tier(spark, "hll_1m").select(*key).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in hll_rollup(transcripts.select("conv_id", "ts"), "1m")
+        .withColumn("day", F.date_format("window_start", "yyyy-MM-dd"))
+        .filter(F.col("day") < seal["seal_before"])
+        .select(*key)
+        .collect()
+    }
+    assert sealed == direct and len(sealed) > 0
