@@ -57,9 +57,10 @@ def main(argv: list[str] | None = None) -> dict:
         "histogram (hist_1m -> hist_1h over text_len), range-free "
         "log-bucket rank sketch (lb_1h -> lb_1d; 1m opt-in via "
         "--lb-tier0), tall distinct-count bitmap (dist_1m -> dist_1h, "
-        "m=2^20) and HLL registers (hll_1m -> hll_1h, unbounded "
-        "cardinality). Same TierStore commit/resume/expiry semantics; "
-        "every cascade reads the STORED finer tier",
+        "m=2^20), HLL registers (hll_1m -> hll_1h, unbounded "
+        "cardinality) and count-min frequency (cms_1m -> cms_1h, "
+        "hot-key probes). Same TierStore commit/resume/expiry "
+        "semantics; every cascade reads the STORED finer tier",
     )
     p.add_argument(
         "--lb-tier0",
@@ -318,11 +319,51 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # count-min frequency tier: point-frequency probes (hot-key /
+        # mega-conversation detection) from d*w counters per window.
+        # Bounded like HLL (<= d*w rows/window regardless of traffic),
+        # so tier-0 persistence is always cheap; sum-merge cascades.
+        # d/w/seed ride the manifest so probes recompute the SAME
+        # universal-hash cells the stored tier was built with.
+        from insar_spark.operators.sketch import (
+            CMS_D,
+            CMS_SEED,
+            CMS_W,
+            cms_cascade,
+            cms_rollup,
+        )
+
+        cms_params_ = {
+            **run_params,
+            "cms_d": CMS_D,
+            "cms_w": CMS_W,
+            "cms_seed": CMS_SEED,
+        }
+        res = store.write_tier(
+            cms_rollup(turns.select("conv_id", "ts"), "1m"),
+            "cms_1m",
+            run_params=cms_params_,
+        )
+        metrics["tiers"]["cms_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_cms1m = store.read_tier(spark, "cms_1m").drop("day")
+        res = store.write_tier(
+            cms_cascade(stored_cms1m, "1h"), "cms_1h",
+            run_params=cms_params_,
+        )
+        metrics["tiers"]["cms_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
             (
                 "hist_1m", "hist_1h", "lb_1h", "lb_1d",
                 "dist_1m", "dist_1h", "hll_1m", "hll_1h",
+                "cms_1m", "cms_1h",
             )
             + (("lb_1m",) if args.lb_tier0 else ())
             if args.sketch

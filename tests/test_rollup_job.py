@@ -74,6 +74,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
 
     assert m1["tiers"]["hll_1m"]["written_days"] > 0
     assert m1["tiers"]["hll_1h"]["written_days"] > 0
+    assert m1["tiers"]["cms_1m"]["written_days"] > 0
+    assert m1["tiers"]["cms_1h"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
@@ -83,6 +85,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m2["tiers"]["dist_1m"]["written_days"] == 0
     assert m2["tiers"]["hll_1m"]["written_days"] == 0
     assert m2["tiers"]["hll_1h"]["written_days"] == 0
+    assert m2["tiers"]["cms_1m"]["written_days"] == 0
+    assert m2["tiers"]["cms_1h"]["written_days"] == 0
 
     store = TierStore(store_path)
     stored = (
@@ -211,6 +215,38 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert len(stored_hll) == len(direct_hll) > 0
     assert (stored_hll["reg"] == direct_hll["reg"]).all()
     assert (stored_hll["max_rho"] == direct_hll["max_rho"]).all()
+
+    # the count-min tier: d/w/seed in the manifest (probes must use the
+    # cells the tier was built with), stored sum-cascade == direct 1h
+    from insar_spark.operators.sketch import (
+        CMS_D,
+        CMS_SEED,
+        CMS_W,
+        cms_rollup,
+    )
+
+    for cms_tier in ("cms_1m", "cms_1h"):
+        snap = store.manifest(cms_tier)["snapshots"][-1]["run_params"]
+        assert (snap["cms_d"], snap["cms_w"], snap["cms_seed"]) == (
+            CMS_D, CMS_W, CMS_SEED,
+        )
+    cms_key = ["window_start", "row_j", "cell"]
+    stored_cms = (
+        store.read_tier(spark, "cms_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values(cms_key)
+        .reset_index(drop=True)
+    )
+    direct_cms = (
+        cms_rollup(turns.select("conv_id", "ts"), "1h")
+        .toPandas()
+        .sort_values(cms_key)
+        .reset_index(drop=True)
+    )
+    assert len(stored_cms) == len(direct_cms) > 0
+    assert (stored_cms["cell"] == direct_cms["cell"]).all()
+    assert (stored_cms["cnt"] == direct_cms["cnt"]).all()
 
 
 def test_job_lb_tier0_opt_in_records_collapse_ratio(spark, tmp_path):
