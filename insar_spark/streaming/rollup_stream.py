@@ -633,3 +633,54 @@ def streaming_hll_1m(
         .agg(F.max("_rho").alias("max_rho"))
         .select(F.col("w.start").alias("window_start"), "reg", "max_rho")
     )
+
+
+def streaming_cms_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m COUNT-MIN frequency tier over a transcript stream.
+
+    The d-way cell fan-out (``posexplode`` of the d universal-hash cells,
+    md5 computed once per turn) happens BEFORE the watermarked window
+    aggregation, so the stateful operator is a plain incremental count
+    per (window, row, cell) — bounded at d*w rows of state per window
+    regardless of traffic, the same ceiling the stored tier has. Counts
+    sum-merge, so a streamed tier cascades bit-identically with a
+    batch-built :func:`~insar_spark.operators.sketch.cms_rollup` one
+    (stream == batch test), keeping hot-key probes servable live.
+    """
+    from insar_spark.functions.shared_hash import P31, h60_col
+    from insar_spark.operators.sketch import CMS_D, CMS_W, cms_params
+
+    a, b = cms_params()
+    return (
+        turns.select(
+            "ts",
+            F.pmod(
+                h60_col(F.col("conv_id").cast("string")), F.lit(P31)
+            ).alias("_x"),
+        )
+        .select(
+            "ts",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.pmod(
+                                F.lit(a[j]) * F.col("_x") + F.lit(b[j]),
+                                F.lit(P31),
+                            ),
+                            F.lit(CMS_W),
+                        ).cast("int")
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("row_j", "cell"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "row_j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "row_j", "cell", "cnt"
+        )
+    )

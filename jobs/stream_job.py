@@ -199,6 +199,49 @@ def run_cycle(
             )
             hllseal["cascaded"]["hll_1h"] = rhll["written_days"]
         seal["sketch_hll"] = hllseal
+
+        # the count-min frequency tier seals with (window, row, cell)
+        # log keys; state is bounded at d*w rows per window no matter
+        # the traffic, and the sum-merge cascade is the same shape as
+        # the lb tier's
+        from insar_spark.operators.sketch import (
+            CMS_D,
+            CMS_SEED,
+            CMS_W,
+            cms_cascade,
+        )
+        from insar_spark.streaming.rollup_stream import streaming_cms_1m
+
+        qc = stream_to_tierstore(
+            spark, src, store, checkpoint_dir=checkpoint + "_cms",
+            watermark=watermark, tier="cms_1m_log",
+            rollup_builder=streaming_cms_1m,
+        )
+        try:
+            qc.processAllAvailable()
+        finally:
+            qc.stop()
+        cms_params_ = {
+            "source": "stream_cycle_cascade",
+            "cms_d": CMS_D,
+            "cms_w": CMS_W,
+            "cms_seed": CMS_SEED,
+        }
+        cmsseal = seal_and_compact(
+            spark, store, log_tier="cms_1m_log", sealed_tier="cms_1m",
+            watermark=watermark,
+            log_keys=("window_start", "row_j", "cell"),
+        )
+        cmsseal["cascaded"] = {}
+        if cmsseal["written_days"]:
+            stored_cms = store.read_tier(spark, "cms_1m").drop("day")
+            rcms = store.write_tier(
+                cms_cascade(stored_cms, "1h"), "cms_1h",
+                run_params=cms_params_,
+                seal_before=cmsseal["seal_before"],
+            )
+            cmsseal["cascaded"]["cms_1h"] = rcms["written_days"]
+        seal["sketch_cms"] = cmsseal
     return seal
 
 
@@ -267,6 +310,12 @@ def main(argv: list[str] | None = None) -> dict:
             )
             metrics["cascaded_hll_1h_days"] = len(
                 seal["sketch_hll"]["cascaded"].get("hll_1h", [])
+            )
+            metrics["sealed_cms_days"] = len(
+                seal["sketch_cms"]["written_days"]
+            )
+            metrics["cascaded_cms_1h_days"] = len(
+                seal["sketch_cms"]["cascaded"].get("cms_1h", [])
             )
         print(json.dumps(metrics), flush=True)
         if args.drain or (args.max_cycles and cycle >= args.max_cycles):

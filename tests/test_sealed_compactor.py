@@ -603,3 +603,52 @@ def test_stream_seal_hll_tier(spark, tmp_path, transcripts):
         .collect()
     }
     assert sealed == direct and len(sealed) > 0
+
+
+def test_stream_seal_cms_tier(spark, tmp_path, transcripts):
+    """The count-min frequency tier through the log->seal machinery:
+    streams via the generic rollup_builder with (window, row, cell) log
+    keys; sealed days carry counts bit-equal to the batch cms_rollup
+    over the same turns, so hot-key probes against a streamed store and
+    a batch-built store give identical estimates."""
+    from insar_spark.operators.sketch import cms_rollup
+    from insar_spark.streaming.rollup_stream import (
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_cms_1m,
+    )
+
+    src = str(tmp_path / "drop_cms")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_cms"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_cms"),
+        watermark="60 minutes", tier="cms_1m_log",
+        rollup_builder=streaming_cms_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="cms_1m_log", sealed_tier="cms_1m",
+        watermark="60 minutes",
+        log_keys=("window_start", "row_j", "cell"),
+    )
+    assert len(seal["written_days"]) > 0
+
+    key = ["window_start", "row_j", "cell", "cnt"]
+    sealed = {
+        tuple(r)
+        for r in store.read_tier(spark, "cms_1m").select(*key).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in cms_rollup(transcripts.select("conv_id", "ts"), "1m")
+        .withColumn("day", F.date_format("window_start", "yyyy-MM-dd"))
+        .filter(F.col("day") < seal["seal_before"])
+        .select(*key)
+        .collect()
+    }
+    assert sealed == direct and len(sealed) > 0
