@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-87 registered queries, 87 oracles. The driver grades the FIRST 50
+89 registered queries, 89 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -3130,6 +3130,168 @@ GROUP BY 1, 2
 """
 
 
+_KMV_Q_K = 16  # query-scale k: sf0.01 hours hold ~5-30 distinct convs,
+#                so k=16 exercises BOTH the exact (<k) and the
+#                k-th-minimum estimator (>=k) regimes in the graded rows
+
+
+def q_kmv_distinct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch tier (Bar-Yossef et al. 2002 / Beyer et al.
+    2007): active conversations per hour from the k smallest distinct
+    md5-60 hashes per window — the third distinct summary in the matrix,
+    and the only one whose samples also support set INTERSECTION (see
+    kmv_overlap_types_1d). Spark builds the 1m tier and CASCADES to 1h
+    (union-and-retake merge, bounded at children×k elements per group);
+    the oracle builds 1h directly from raw keys, so equality proves the
+    cascade is exact. Contract surface: sample size + max retained hash
+    (int64-exact) + the estimate — exact below k, (k-1)·2^60/h_k above
+    it, one deterministic double division."""
+    from insar_spark.operators.sketch import (
+        kmv_cascade,
+        kmv_estimate,
+        kmv_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    t1m = kmv_rollup(ev, "1m", k=_KMV_Q_K)
+    t1h = kmv_cascade(t1m, "1h", k=_KMV_Q_K)
+    return t1h.select(
+        "window_start",
+        F.size("kmv").cast("int").alias("n_sample"),
+        F.element_at("kmv", F.size("kmv")).alias("max_retained"),
+        F.round(kmv_estimate("kmv", k=_KMV_Q_K), 6).alias("est_distinct"),
+    )
+
+
+def _sql_kmv_distinct() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("cast(user_id as varchar)")
+    k = _KMV_Q_K
+    return f"""
+WITH d AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS window_start, {h} AS h
+  FROM events
+), r AS (
+  SELECT window_start, h FROM d
+  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= {k}
+)
+SELECT window_start,
+       count(*)::INT AS n_sample,
+       max(h) AS max_retained,
+       round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+             ELSE {k - 1}.0 * 1152921504606846976.0 / max(h)::DOUBLE
+             END, 6) AS est_distinct
+FROM r GROUP BY window_start
+"""
+
+
+def q_kmv_overlap_types_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION from KMV sketches — the query neither the bitmap
+    nor the HLL tier can answer (both merge by union only): per day, how
+    many conversations were active in BOTH 'click' and 'purchase'
+    streams, estimated purely from the two k-min samples (no second pass
+    over raw keys). The union sample is a uniform sample of A∪B, so the
+    fraction present in both sketches estimates Jaccard and
+    |A∩B| ≈ J·|A∪B| (Beyer et al. 2007). Spark builds the KEYED 1h tier
+    and cascades to 1d (proving the keyed union-and-retake merge), then
+    intersects with a k-bounded higher-order membership filter — pure
+    JVM, no explode; the oracle rebuilds both day-level samples from raw
+    and replays union/membership with window ranks + joins."""
+    from insar_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_intersect,
+        kmv_rollup,
+        kmv_cascade,
+        kmv_union,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    t1h = kmv_rollup(ev, "1h", k=_KMV_Q_K, group_col="event_type")
+    t1d = kmv_cascade(t1h, "1d", k=_KMV_Q_K, group_col="event_type")
+    a = t1d.filter(F.col("event_type") == "click").select(
+        "window_start", F.col("kmv").alias("kmv_a")
+    )
+    b = t1d.filter(F.col("event_type") == "purchase").select(
+        "window_start", F.col("kmv").alias("kmv_b")
+    )
+    j = a.join(b, "window_start")
+    n_both, jac, inter = kmv_intersect(
+        F.col("kmv_a"), F.col("kmv_b"), k=_KMV_Q_K
+    )
+    u = kmv_union(F.col("kmv_a"), F.col("kmv_b"), k=_KMV_Q_K)
+    return j.select(
+        "window_start",
+        n_both.cast("int").alias("n_both"),
+        F.size(u).cast("int").alias("n_union_sample"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(kmv_estimate(u, k=_KMV_Q_K), 6).alias("est_union"),
+        F.round(inter, 6).alias("est_intersection"),
+    )
+
+
+def _sql_kmv_overlap() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("cast(user_id as varchar)")
+    k = _KMV_Q_K
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, date_trunc('day', ts) AS window_start,
+         {h} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), ra AS (
+  SELECT window_start, h FROM d WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= {k}
+), rb AS (
+  SELECT window_start, h FROM d WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= {k}
+), uni AS (
+  SELECT window_start, h FROM (SELECT * FROM ra UNION SELECT * FROM rb)
+  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= {k}
+), m AS (
+  SELECT u.window_start, u.h,
+         (ra.h IS NOT NULL AND rb.h IS NOT NULL) AS in_both
+  FROM uni u
+  LEFT JOIN ra ON ra.window_start = u.window_start AND ra.h = u.h
+  LEFT JOIN rb ON rb.window_start = u.window_start AND rb.h = u.h
+), s AS (
+  SELECT window_start,
+         sum(CASE WHEN in_both THEN 1 ELSE 0 END)::INT AS n_both,
+         count(*)::INT AS n_union_sample,
+         max(h) AS max_h
+  FROM m GROUP BY window_start
+), e AS (
+  SELECT *,
+         n_both::DOUBLE / n_union_sample::DOUBLE AS jac_raw,
+         CASE WHEN n_union_sample < {k} THEN n_union_sample::DOUBLE
+              ELSE {k - 1}.0 * 1152921504606846976.0 / max_h::DOUBLE
+         END AS est_u_raw
+  FROM s
+)
+SELECT window_start, n_both, n_union_sample,
+       round(jac_raw, 6) AS jaccard,
+       round(est_u_raw, 6) AS est_union,
+       round(jac_raw * est_u_raw, 6) AS est_intersection
+FROM e
+WHERE window_start IN (SELECT window_start FROM ra)
+  AND window_start IN (SELECT window_start FROM rb)
+"""
+
+
 def q_doc_len_p95_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length-distribution QC (pretraining mixture monitoring):
     p50/p95 document length per (lang, source) from the range-free
@@ -3291,8 +3453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in CORRECTNESS_r01/r02.json rotate past position 50 (their history
     persists; nothing is lost by rotating them out of the window)."""
     return {
-        # -- new in round 5 (never driver-graded): bitmap-saturation
-        #    visibility + signed lb delta tails (VERDICT r4 #1/#2) --------
+        # -- new in round 5: KMV distinct sketch (set-intersection
+        #    capability) + count-min hot keys + bitmap saturation + signed
+        #    lb delta tails ------------------------------------------------
+        "kmv_distinct_1h": q_kmv_distinct_1h,
+        "kmv_overlap_types_1d": q_kmv_overlap_types_1d,
         "hot_convs_cms_1h": q_hot_convs_cms_1h,
         "distinct_hll_1h": q_distinct_hll_1h,
         "distinct_saturation_1h": q_distinct_saturation_1h,
@@ -3476,6 +3641,8 @@ def oracle_sql() -> dict[str, str]:
         "lb_rank_p99_1h": _SQL_LB_RANK,
         "lb_rank_series_1h": _SQL_LB_RANK_SERIES,
         "distinct_convs_by_type_1h": _sql_distinct_convs_by_type(),
+        "kmv_distinct_1h": _sql_kmv_distinct(),
+        "kmv_overlap_types_1d": _sql_kmv_overlap(),
         "hot_convs_cms_1h": _sql_hot_convs_cms(),
         "distinct_hll_1h": _sql_distinct_hll(),
         "distinct_saturation_1h": _sql_distinct_saturation(),

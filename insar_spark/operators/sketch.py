@@ -1091,3 +1091,143 @@ def cms_probe(
             F.count(F.lit(1)).cast("int").alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch (KMV): the one distinct summary that
+# supports set INTERSECTION. The bitmap and HLL tiers above merge by
+# union only — "active conversations per hour" composes, but "how many
+# conversations were active in BOTH hours" / "in both roles" does not.
+# KMV (Bar-Yossef et al. 2002; Beyer et al. 2007 "distinct sampling")
+# keeps the k smallest distinct 60-bit hashes per window: the k-th
+# minimum estimates density ((k-1)·2^60 / h_k distincts), union is
+# "merge and re-take k smallest" (associative, exact on the sample, so
+# tiers cascade bit-identically), and because the retained hashes are a
+# uniform sample of the key space, |A∩B| falls out of membership counts
+# on the union sample — no other tier here can answer that.
+#
+# Scale shape: rollup dedups hashes FIRST (groupBy with map-side
+# partials shrinks the exchange to distinct keys), then one sort-rank
+# per window bounds the tier at k rows; every cascade carries arrays of
+# ≤ k int64s through plain groupBy — collect_list is bounded at
+# (children-per-parent × k) elements, never raw cardinality. All
+# arithmetic is int64-exact until a single final double division, so
+# the DuckDB oracle replays the sketch bit-for-bit from raw keys.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # sample size -> relative stderr ~ 1/sqrt(k-2) ~ 6.3 %
+KMV_DOMAIN = float(1 << 60)  # md5-60 hash space (shared_hash.py)
+
+
+def kmv_rollup(
+    df: DataFrame, tier: str = "1m", key_col: str = "conv_id",
+    ts_col: str = "ts", k: int = KMV_K, group_col: str | None = None,
+) -> DataFrame:
+    """One sorted ``array<long>`` of the k smallest distinct md5-60
+    hashes per (group?, window). Two exchanges: a distinct-hash groupBy
+    (map-side partials absorb duplicate keys before the shuffle — the
+    dominant reduction at transcript scale) and a per-window sort-rank;
+    the final array agg reuses the rank's partitioning (no third
+    exchange). Output is ≤ k rows of payload per window regardless of
+    traffic."""
+    from pyspark.sql.window import Window
+
+    from insar_spark.functions.shared_hash import h60_col
+
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    distinct = (
+        df.select(
+            *group,
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            h60_col(F.col(key_col).cast("string")).alias("_h"),
+        )
+        .groupBy(*group, "window_start", "_h")
+        .agg(F.lit(1).alias("_dummy"))
+    )
+    w = Window.partitionBy(*group, "window_start").orderBy("_h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group, "window_start")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_cascade(
+    rolled: DataFrame, tier: str, k: int = KMV_K,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Coarsen a KMV tier: merge children by union-and-retake — flatten
+    the child arrays, dedup, sort, keep the k smallest. Exactly equal to
+    building the sketch from raw at the coarser window (the k smallest
+    of a union are among the k smallest of each side), which is what
+    makes the tier cascade-safe; the collect_list is bounded at
+    children×k elements per group, never raw cardinality."""
+    unit = TIERS[tier]
+    group = [group_col] if group_col else []
+    return (
+        rolled.groupBy(
+            *group,
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+        )
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("kmv")))
+                ),
+                1,
+                k,
+            ).alias("kmv")
+        )
+    )
+
+
+def kmv_estimate(kmv_col: str | Column, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a KMV array: EXACT (the sample holds
+    every distinct hash) when fewer than k survive, else the k-th-minimum
+    density estimator (k-1)·2^60 / h_k. Integer-derived with one final
+    double division — both factors are exactly representable, so an
+    independent SQL engine reproduces the double bit-for-bit."""
+    c = F.col(kmv_col) if isinstance(kmv_col, str) else kmv_col
+    n = F.size(c)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_DOMAIN)
+        / F.element_at(c, k).cast("double")
+    )
+
+
+def kmv_union(a: Column, b: Column, k: int = KMV_K) -> Column:
+    """KMV of a set union from two KMV arrays: merge, dedup, re-take the
+    k smallest. Null-safe (a window present on one side only unions with
+    the empty set)."""
+    ea = F.coalesce(a, F.array().cast("array<long>"))
+    eb = F.coalesce(b, F.array().cast("array<long>"))
+    return F.slice(
+        F.array_sort(F.array_distinct(F.concat(ea, eb))), 1, k
+    )
+
+
+def kmv_intersect(
+    a: Column, b: Column, k: int = KMV_K,
+) -> tuple[Column, Column, Column]:
+    """Intersection estimate from two KMV sketches (Beyer et al. 2007):
+    the union sample is a uniform sample of A∪B, so the fraction of it
+    present in BOTH sketches estimates the Jaccard index, and
+    |A∩B| ≈ jaccard · |A∪B|. Returns (n_in_both, jaccard,
+    est_intersection); the membership scan is a k-bounded higher-order
+    filter — pure JVM, no explode, no join."""
+    ea = F.coalesce(a, F.array().cast("array<long>"))
+    eb = F.coalesce(b, F.array().cast("array<long>"))
+    u = kmv_union(ea, eb, k)
+    n_both = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(ea, x) & F.array_contains(eb, x),
+        )
+    )
+    n_u = F.size(u)
+    jaccard = F.when(n_u > 0, n_both.cast("double") / n_u.cast("double")
+                     ).otherwise(F.lit(0.0))
+    est_inter = jaccard * kmv_estimate(u, k)
+    return n_both, jaccard, est_inter

@@ -911,3 +911,97 @@ def test_cms_sketch_never_undercounts_and_cascade_exact(spark):
         assert est <= true_cnt + eps * n_total + 1, (
             f"{k}: overshoot beyond the eps*N bound: {est} vs {true_cnt}"
         )
+
+
+def test_kmv_sketch_cascade_intersection_and_estimate(spark):
+    """KMV distinct sketch: (a) 1m->1h union-and-retake cascade equals
+    the direct 1h build array-for-array (the k smallest of a union are
+    among the k smallest of each side), (b) idempotent under replay,
+    (c) the k-th-minimum estimator is EXACT below k and within 6 sigma
+    (sigma = 1/sqrt(k-2)) above it, (d) the intersection estimate — the
+    capability neither the bitmap nor HLL tier has — is exact when both
+    sides fit the sample and within tolerance when they don't."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.sketch import (
+        KMV_K,
+        kmv_cascade,
+        kmv_estimate,
+        kmv_intersect,
+        kmv_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # hour 0: 100 convs (< k, exact regime); hour 1: 50_000 convs with
+    # ids 0..49_999; hour 2: ids 25_000..74_999 (true overlap 25_000)
+    frames = []
+    for hour, lo, n in [(0, 0, 100), (1, 0, 50_000), (2, 25_000, 50_000)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": [f"c{lo + i}" for i in range(n)],
+                    "ts": pd.Timestamp(f"2026-01-01 {hour:02d}:00:00")
+                    + pd.to_timedelta(
+                        [i % 3600 for i in range(n)], unit="s"
+                    ),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+
+    t1m = kmv_rollup(df, "1m")
+    via_cascade = kmv_cascade(t1m, "1h")
+    direct = kmv_rollup(df, "1h")
+    a = {r["window_start"]: list(r["kmv"]) for r in via_cascade.collect()}
+    b = {r["window_start"]: list(r["kmv"]) for r in direct.collect()}
+    assert a == b, "1m->1h union-and-retake must equal the direct build"
+
+    replayed = kmv_cascade(t1m.unionAll(t1m), "1h")
+    c = {r["window_start"]: list(r["kmv"]) for r in replayed.collect()}
+    assert c == b, "replayed partitions must merge idempotently"
+
+    est = {
+        r["window_start"].hour: r["est"]
+        for r in direct.select(
+            "window_start", kmv_estimate("kmv").alias("est")
+        ).collect()
+    }
+    assert est[0] == 100.0, "below k the sample is complete -> exact"
+    sigma = 1.0 / (KMV_K - 2) ** 0.5
+    for hour in (1, 2):
+        assert abs(est[hour] - 50_000) <= 6 * sigma * 50_000
+
+    # intersection of hours 1 and 2: true 25_000 of union 75_000
+    h1 = direct.filter(F.hour("window_start") == 1).select(
+        F.col("kmv").alias("kmv_a")
+    )
+    h2 = direct.filter(F.hour("window_start") == 2).select(
+        F.col("kmv").alias("kmv_b")
+    )
+    n_both, jac, inter = kmv_intersect(F.col("kmv_a"), F.col("kmv_b"))
+    row = (
+        h1.crossJoin(h2)
+        .select(
+            n_both.alias("n_both"),
+            jac.alias("jaccard"),
+            inter.alias("est_inter"),
+        )
+        .collect()[0]
+    )
+    true_j = 25_000 / 75_000
+    # jaccard is a k-sample binomial proportion: stderr sqrt(j(1-j)/k)
+    se = (true_j * (1 - true_j) / KMV_K) ** 0.5
+    assert abs(row["jaccard"] - true_j) <= 6 * se
+    assert abs(row["est_inter"] - 25_000) <= 0.35 * 25_000
+
+    # exact-regime intersection: hour 0 with itself is identity
+    h0 = direct.filter(F.hour("window_start") == 0).select(
+        F.col("kmv").alias("kmv_a"), F.col("kmv").alias("kmv_b")
+    )
+    n_both0, jac0, inter0 = kmv_intersect(F.col("kmv_a"), F.col("kmv_b"))
+    r0 = h0.select(
+        n_both0.alias("n"), jac0.alias("j"), inter0.alias("i")
+    ).collect()[0]
+    assert (r0["n"], r0["j"], r0["i"]) == (100, 1.0, 100.0)
