@@ -58,8 +58,9 @@ def main(argv: list[str] | None = None) -> dict:
         "log-bucket rank sketch (lb_1h -> lb_1d; 1m opt-in via "
         "--lb-tier0), tall distinct-count bitmap (dist_1m -> dist_1h, "
         "m=2^20), HLL registers (hll_1m -> hll_1h, unbounded "
-        "cardinality) and count-min frequency (cms_1m -> cms_1h, "
-        "hot-key probes). Same TierStore commit/resume/expiry "
+        "cardinality), count-min frequency (cms_1m -> cms_1h, "
+        "hot-key probes) and KMV distinct samples (kmv_1m -> kmv_1h, "
+        "set intersection). Same TierStore commit/resume/expiry "
         "semantics; every cascade reads the STORED finer tier",
     )
     p.add_argument(
@@ -358,12 +359,44 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # KMV distinct-sample tier: the only distinct summary whose
+        # stored form also answers set INTERSECTION (bitmap/HLL merge by
+        # union only). One array row of <= k hashes per window, so
+        # tier-0 persistence is always cheap; the cascade is
+        # union-and-retake (== direct build, tested). k rides the
+        # manifest so intersection readers know the sample contract.
+        from insar_spark.operators.sketch import (
+            KMV_K,
+            kmv_cascade,
+            kmv_rollup,
+        )
+
+        kmv_params = {**run_params, "kmv_k": KMV_K}
+        res = store.write_tier(
+            kmv_rollup(turns.select("conv_id", "ts"), "1m"),
+            "kmv_1m",
+            run_params=kmv_params,
+        )
+        metrics["tiers"]["kmv_1m"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_kmv1m = store.read_tier(spark, "kmv_1m").drop("day")
+        res = store.write_tier(
+            kmv_cascade(stored_kmv1m, "1h"), "kmv_1h",
+            run_params=kmv_params,
+        )
+        metrics["tiers"]["kmv_1h"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
             (
                 "hist_1m", "hist_1h", "lb_1h", "lb_1d",
                 "dist_1m", "dist_1h", "hll_1m", "hll_1h",
-                "cms_1m", "cms_1h",
+                "cms_1m", "cms_1h", "kmv_1m", "kmv_1h",
             )
             + (("lb_1m",) if args.lb_tier0 else ())
             if args.sketch

@@ -76,6 +76,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m1["tiers"]["hll_1h"]["written_days"] > 0
     assert m1["tiers"]["cms_1m"]["written_days"] > 0
     assert m1["tiers"]["cms_1h"]["written_days"] > 0
+    assert m1["tiers"]["kmv_1m"]["written_days"] > 0
+    assert m1["tiers"]["kmv_1h"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
@@ -87,6 +89,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m2["tiers"]["hll_1h"]["written_days"] == 0
     assert m2["tiers"]["cms_1m"]["written_days"] == 0
     assert m2["tiers"]["cms_1h"]["written_days"] == 0
+    assert m2["tiers"]["kmv_1m"]["written_days"] == 0
+    assert m2["tiers"]["kmv_1h"]["written_days"] == 0
 
     store = TierStore(store_path)
     stored = (
@@ -247,6 +251,31 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert len(stored_cms) == len(direct_cms) > 0
     assert (stored_cms["cell"] == direct_cms["cell"]).all()
     assert (stored_cms["cnt"] == direct_cms["cnt"]).all()
+
+    # the KMV tier: k in the manifest (intersection readers need the
+    # sample contract), stored union-and-retake cascade == direct 1h
+    from insar_spark.operators.sketch import KMV_K, kmv_rollup
+
+    for kmv_tier in ("kmv_1m", "kmv_1h"):
+        snap = store.manifest(kmv_tier)["snapshots"][-1]["run_params"]
+        assert snap["kmv_k"] == KMV_K
+    stored_kmv = (
+        store.read_tier(spark, "kmv_1h")
+        .drop("day")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    direct_kmv = (
+        kmv_rollup(turns.select("conv_id", "ts"), "1h")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(stored_kmv) == len(direct_kmv) > 0
+    assert [list(x) for x in stored_kmv["kmv"]] == [
+        list(x) for x in direct_kmv["kmv"]
+    ]
 
 
 def test_job_lb_tier0_opt_in_records_collapse_ratio(spark, tmp_path):
