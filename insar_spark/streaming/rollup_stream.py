@@ -684,3 +684,58 @@ def streaming_cms_1m(
             F.col("w.start").alias("window_start"), "row_j", "cell", "cnt"
         )
     )
+
+
+def stateful_kmv_1m(turns: DataFrame, k: int = 256) -> DataFrame:
+    """Custom stateful operator: streaming KMV distinct sample per 1m
+    window via ``applyInPandasWithState``.
+
+    The other sketch tiers stream as plain incremental SQL aggregates
+    (conditional counts, bit_or, max, sum); KMV's merge —
+    union-and-retake-the-k-smallest — is NOT an incremental aggregate
+    Spark's state store can fold, so it takes the custom-stateful path.
+    State per window is EXACTLY the sketch: one sorted array of ≤ k
+    int64 hashes, bounded no matter the traffic (the trimming that makes
+    the sketch cheap is the same trimming that bounds the state). The
+    md5-60 hash is computed JVM-side BEFORE the grouping so the Python
+    stage only merges int lists (Arrow-batched, no per-row text work).
+    Each trigger emits the window's refreshed sketch; the LAST emission
+    per window equals the batch ``kmv_rollup`` array bit-for-bit
+    (stream == batch test), so a live window's distinct estimate — and
+    its overlap against any stored KMV tier — is servable mid-window.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    from insar_spark.functions.shared_hash import h60_col
+
+    out_schema = "window_start timestamp, kmv array<long>, n_sample int"
+    state_schema = "kmv array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        (window_start,) = key
+        kept = list(state.get[0]) if state.exists else []
+        seen = set(kept)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["_h"])
+        kept = sorted(seen)[:k]
+        state.update((kept,))
+        yield pd.DataFrame(
+            {
+                "window_start": [window_start],
+                "kmv": [kept],
+                "n_sample": [len(kept)],
+            }
+        )
+
+    return (
+        turns.select(
+            F.date_trunc("minute", F.col("ts")).alias("window_start"),
+            h60_col(F.col("conv_id").cast("string")).alias("_h"),
+        )
+        .groupBy("window_start")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
