@@ -468,33 +468,34 @@ def streaming_distinct_by_role_1m(
     )
 
 
-def lb_realtime_1h_view(
+def realtime_1h_view(
     spark: SparkSession,
     store,
-    log_tier: str = "lb_1m_log",
-    fine_tier: str = "lb_1m",
-    coarse_tier: str = "lb_1h",
+    cascade_to_1h,
+    log_keys: tuple[str, ...],
+    log_tier: str,
+    fine_tier: str,
+    coarse_tier: str,
 ) -> DataFrame:
     """Real-time continuous aggregate ACROSS retention tiers — the
-    TimescaleDB real-time-aggregate pattern: serve "p99 over the last
-    24 h right now" by stitching three layers, coarsest-first:
+    TimescaleDB real-time-aggregate pattern, generic over any mergeable
+    tier family: serve "the last 24 h right now" by stitching three
+    layers, coarsest-first:
 
-      1. committed ``lb_1h`` day partitions (sealed, cascaded, cheap),
-      2. the sealed ``lb_1m`` layer cascaded to 1h on the fly for days
-         the 1h cascade hasn't sealed yet,
+      1. committed 1h day partitions (sealed, cascaded, cheap),
+      2. the sealed 1m layer cascaded to 1h on the fly for days the 1h
+         cascade hasn't sealed yet,
       3. the live epoch log (update-mode partials still inside the
          watermark), latest-epoch-wins, also cascaded to 1h.
 
     No double counting: each finer layer is filtered to the days the
     coarser committed tier does NOT cover (day is the seal granularity,
-    so day-level exclusion is exact). Because the lb merge is a plain
-    sum, cascading live 1m partials to 1h is legal mid-window — the
-    result is bit-equal to a batch 1h rollup over everything that has
-    arrived (stream==batch tested). At 100 TB the expensive layer (3)
-    is bounded by the watermark horizon; layers 1–2 are stored-tier
-    scans, never raw."""
-    from insar_spark.operators.sketch import lb_cascade
-
+    so day-level exclusion is exact). Legal mid-window for every family
+    whose merge is associative over partials (sum for plain/hist/lb/cms,
+    max for hll) — the result is bit-equal to a batch 1h rollup over
+    everything that has arrived (stream==batch tested per family). At
+    100 TB the expensive layer (3) is bounded by the watermark horizon;
+    layers 1–2 are stored-tier scans, never raw."""
     coarse_days = store.committed_days(coarse_tier)
     try:
         coarse = store.read_tier(spark, coarse_tier).drop("day")
@@ -503,9 +504,9 @@ def lb_realtime_1h_view(
     try:
         fine = sealed_union_view(
             spark, store, log_tier=log_tier, sealed_tier=fine_tier,
-            log_keys=("conv_id", "window_start", "bucket"),
+            log_keys=log_keys,
         )
-        live = lb_cascade(fine, "1h")
+        live = cascade_to_1h(fine)
     except ValueError:  # fine layers fully expired/truncated
         live = None
     if coarse is None and live is None:
@@ -523,6 +524,80 @@ def lb_realtime_1h_view(
             )
         )
     return coarse.unionByName(live)
+
+
+def lb_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "lb_1m_log",
+    fine_tier: str = "lb_1m",
+    coarse_tier: str = "lb_1h",
+) -> DataFrame:
+    """Real-time log-bucket rank-sketch serve: "fleet p99 over the last
+    24 h right now" from sealed 1h + sealed 1m + the live epoch log."""
+    from insar_spark.operators.sketch import lb_cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: lb_cascade(fine, "1h"),
+        ("conv_id", "window_start", "bucket"),
+        log_tier, fine_tier, coarse_tier,
+    )
+
+
+def hist_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "hist_1m_log",
+    fine_tier: str = "hist_1m",
+    coarse_tier: str = "hist_1h",
+) -> DataFrame:
+    """Real-time histogram-sketch serve (per-bin sums merge across all
+    three layers; clamp counters ride along, so saturation stays
+    visible even on the live edge)."""
+    from insar_spark.operators.sketch import hist_cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: hist_cascade(fine, "1h"),
+        ("conv_id", "window_start"),
+        log_tier, fine_tier, coarse_tier,
+    )
+
+
+def hll_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "hll_1m_log",
+    fine_tier: str = "hll_1m",
+    coarse_tier: str = "hll_1h",
+) -> DataFrame:
+    """Real-time HLL serve: "active conversations in the last 24 h right
+    now" at fleet cardinality — register max is idempotent, so the live
+    layer merges with no replay special-casing."""
+    from insar_spark.operators.sketch import hll_cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: hll_cascade(fine, "1h"),
+        ("window_start", "reg"),
+        log_tier, fine_tier, coarse_tier,
+    )
+
+
+def cms_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "cms_1m_log",
+    fine_tier: str = "cms_1m",
+    coarse_tier: str = "cms_1h",
+) -> DataFrame:
+    """Real-time count-min serve: hot-key frequency probes against a view
+    that includes turns still inside the watermark."""
+    from insar_spark.operators.sketch import cms_cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: cms_cascade(fine, "1h"),
+        ("window_start", "row_j", "cell"),
+        log_tier, fine_tier, coarse_tier,
+    )
 
 
 def streaming_lb_1m(
