@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-89 registered queries, 89 oracles. The driver grades the FIRST 50
+90 registered queries, 90 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -3243,6 +3243,117 @@ def q_kmv_overlap_types_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day conversation RETENTION from stored KMV sketches —
+    the classic product-analytics metric ("how many of yesterday's
+    active conversations came back today") that needs set intersection
+    across adjacent windows, which only the KMV tier can serve without a
+    re-scan of raw keys: self-join the daily tier on day+1 and intersect
+    the two k-min samples. est_retained ≈ J·|A∪B| per Beyer et al. 2007;
+    retention_rate divides by the prior day's estimate. One tiny
+    sketch-tier self-join (30 rows at a month of days) regardless of
+    corpus size."""
+    from insar_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_intersect,
+        kmv_rollup,
+        kmv_union,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    t1d = kmv_rollup(ev, "1d", k=_KMV_Q_K)
+    prev = t1d.select(
+        F.col("window_start").alias("day_prev"),
+        F.col("kmv").alias("kmv_a"),
+    )
+    cur = t1d.select(
+        F.col("window_start").alias("day_cur"),
+        F.col("kmv").alias("kmv_b"),
+    )
+    j = prev.join(
+        cur,
+        F.col("day_cur") == F.date_add(F.col("day_prev"), 1).cast(
+            "timestamp"
+        ),
+    )
+    n_both, jac, inter = kmv_intersect(
+        F.col("kmv_a"), F.col("kmv_b"), k=_KMV_Q_K
+    )
+    u = kmv_union(F.col("kmv_a"), F.col("kmv_b"), k=_KMV_Q_K)
+    est_prev = kmv_estimate(F.col("kmv_a"), k=_KMV_Q_K)
+    return j.select(
+        F.col("day_prev").alias("window_start"),
+        n_both.cast("int").alias("n_both"),
+        F.round(inter, 6).alias("est_retained"),
+        F.round(inter / est_prev, 6).alias("retention_rate"),
+    )
+
+
+def _sql_kmv_retention() -> str:
+    from insar_spark.functions.shared_hash import sql_h60
+
+    h = sql_h60("cast(user_id as varchar)")
+    k = _KMV_Q_K
+    dom = "1152921504606846976.0"
+    est = (
+        f"CASE WHEN {{n}} < {k} THEN {{n}}::DOUBLE "
+        f"ELSE {k - 1}.0 * {dom} / {{mx}}::DOUBLE END"
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT date_trunc('day', ts) AS window_start, {h} AS h
+  FROM events
+), r AS (
+  SELECT window_start, h FROM d
+  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= {k}
+), pairs AS (
+  SELECT a.window_start AS day_prev, a.h AS ha, b.h AS hb,
+         b.window_start AS day_cur
+  FROM r a JOIN r b
+    ON b.window_start = a.window_start + INTERVAL 1 DAY AND a.h = b.h
+), uni AS (
+  SELECT l.day_prev, l.h FROM (
+    SELECT a.window_start AS day_prev, a.h FROM r a
+    WHERE EXISTS (SELECT 1 FROM r b
+                  WHERE b.window_start = a.window_start + INTERVAL 1 DAY)
+    UNION
+    SELECT b.window_start - INTERVAL 1 DAY AS day_prev, b.h FROM r b
+    WHERE EXISTS (SELECT 1 FROM r a
+                  WHERE a.window_start = b.window_start - INTERVAL 1 DAY)
+  ) l
+  QUALIFY row_number() OVER (PARTITION BY l.day_prev ORDER BY l.h) <= {k}
+), m AS (
+  SELECT u.day_prev, u.h,
+         (p.ha IS NOT NULL) AS in_both
+  FROM uni u
+  LEFT JOIN pairs p ON p.day_prev = u.day_prev AND p.ha = u.h
+), s AS (
+  SELECT day_prev,
+         sum(CASE WHEN in_both THEN 1 ELSE 0 END)::INT AS n_both,
+         count(*)::INT AS n_u,
+         max(h) AS max_u
+  FROM m GROUP BY day_prev
+), pa AS (
+  SELECT window_start AS day_prev, count(*)::INT AS n_a, max(h) AS max_a
+  FROM r GROUP BY window_start
+), e AS (
+  SELECT s.day_prev, s.n_both,
+         (s.n_both::DOUBLE / s.n_u::DOUBLE)
+           * ({est.format(n="s.n_u", mx="s.max_u")}) AS inter_raw,
+         {est.format(n="pa.n_a", mx="pa.max_a")} AS prev_raw
+  FROM s JOIN pa USING (day_prev)
+)
+SELECT day_prev AS window_start, n_both,
+       round(inter_raw, 6) AS est_retained,
+       round(inter_raw / prev_raw, 6) AS retention_rate
+FROM e
+"""
+
+
 def _sql_kmv_overlap() -> str:
     from insar_spark.functions.shared_hash import sql_h60
 
@@ -3458,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    lb delta tails ------------------------------------------------
         "kmv_distinct_1h": q_kmv_distinct_1h,
         "kmv_overlap_types_1d": q_kmv_overlap_types_1d,
+        "kmv_retention_1d": q_kmv_retention_1d,
         "hot_convs_cms_1h": q_hot_convs_cms_1h,
         "distinct_hll_1h": q_distinct_hll_1h,
         "distinct_saturation_1h": q_distinct_saturation_1h,
@@ -3643,6 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_convs_by_type_1h": _sql_distinct_convs_by_type(),
         "kmv_distinct_1h": _sql_kmv_distinct(),
         "kmv_overlap_types_1d": _sql_kmv_overlap(),
+        "kmv_retention_1d": _sql_kmv_retention(),
         "hot_convs_cms_1h": _sql_hot_convs_cms(),
         "distinct_hll_1h": _sql_distinct_hll(),
         "distinct_saturation_1h": _sql_distinct_saturation(),
