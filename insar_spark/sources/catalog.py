@@ -20,6 +20,17 @@ Semantics mirrored from the reference:
   horizon are dropped atomically via a manifest commit; the data files go
   with them.
 
+Snapshot time travel (Iceberg snapshot semantics): every commit writes a
+per-snapshot state file (``_snapshots/<tier>/snap-<id>.json`` — the
+manifest-list analog) capturing the full post-commit partition→file map,
+and destructive ops (expire / drop / compact / rollback) tombstone the
+files they retire instead of deleting them inline. With
+``snapshot_keep=N`` the last N snapshots stay readable via
+``read_tier(..., as_of=id)`` and restorable via ``rollback``; tombstoned
+files are vacuumed only once their creating snapshot ages past the keep
+horizon (``expire_snapshots``). ``snapshot_keep=0`` (default) vacuums
+immediately — identical behavior and cost to the pre-time-travel store.
+
 Layout: ``root/tier=<t>/day=YYYY-MM-DD/*.parquet`` — day partitioning gives
 partition pruning for retention and time-range scans; files within a
 partition are written clustered by ``conv_id`` (repartition + sort) so a
@@ -50,12 +61,21 @@ DEFAULT_RETENTION: dict[str, int | None] = {
 }
 
 
+class SnapshotExpiredError(LookupError):
+    """The snapshot existed but its state (or data files) were vacuumed
+    past the ``snapshot_keep`` horizon — time travel to it is gone."""
+
+
 @dataclass
 class TierStore:
     root: str
     retention: dict[str, int | None] = field(
         default_factory=lambda: dict(DEFAULT_RETENTION)
     )
+    # how many PAST snapshots remain time-travelable. 0 = vacuum retired
+    # files at commit time (the pre-time-travel behavior); N keeps the
+    # last N snapshots' state files + their data files on disk.
+    snapshot_keep: int = 0
 
     # ------------------------------------------------------------ manifest
 
@@ -76,6 +96,155 @@ class TierStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, p)  # atomic snapshot commit
+
+    # ------------------------------------------------- snapshot time travel
+
+    def _state_dir(self, tier: str) -> str:
+        return os.path.join(self.root, "_snapshots", tier)
+
+    def _write_state(self, tier: str, snap_id: int, partitions: dict) -> None:
+        """Per-snapshot full partition→file state (Iceberg manifest-list
+        analog): written BEFORE the live-manifest commit, so a crash
+        between the two leaves an orphan state file (never read — the
+        live manifest still points at the previous snapshot)."""
+        os.makedirs(self._state_dir(tier), exist_ok=True)
+        p = os.path.join(self._state_dir(tier), f"snap-{snap_id}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"id": snap_id, "partitions": partitions}, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    def current_snapshot_id(self, tier: str) -> int:
+        snaps = self.manifest(tier)["snapshots"]
+        return snaps[-1]["id"] if snaps else 0
+
+    def state_at(self, tier: str, snapshot_id: int) -> dict:
+        """Partition state as of ``snapshot_id``. Raises
+        ``SnapshotExpiredError`` if the snapshot existed but was vacuumed,
+        ``ValueError`` if it never existed."""
+        p = os.path.join(self._state_dir(tier), f"snap-{snapshot_id}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)["partitions"]
+        if any(s["id"] == snapshot_id for s in self.manifest(tier)["snapshots"]):
+            raise SnapshotExpiredError(
+                f"tier '{tier}' snapshot {snapshot_id} is past the "
+                f"snapshot_keep={self.snapshot_keep} horizon (state vacuumed)"
+            )
+        raise ValueError(f"tier '{tier}' has no snapshot {snapshot_id}")
+
+    def _tombstone(self, man: dict, snap_id: int, paths: list[str]) -> None:
+        """Record retired file/dir paths (relative to root) for deferred
+        vacuum — they stay on disk while any kept snapshot references
+        them."""
+        if paths:
+            man.setdefault("tombstones", []).append(
+                {"snapshot": snap_id, "paths": sorted(paths)}
+            )
+
+    def _finalize(self, tier: str, man: dict, keep: int | None = None) -> list[str]:
+        """Commit a mutated manifest and vacuum what aged out.
+
+        Order: state file → prune eligible tombstones/states from the
+        manifest → atomic manifest commit → physical delete. A crash
+        after the commit leaves orphan files (invisible to every reader —
+        read_tier scans manifest file lists), reclaimed by the next
+        vacuum-eligible commit or a coarse fs sweep; never a correctness
+        issue. Single-writer per tier is assumed throughout (the jobs
+        serialize commits per tier), matching the pre-time-travel store.
+        """
+        keep = self.snapshot_keep if keep is None else keep
+        latest = man["snapshots"][-1]["id"] if man["snapshots"] else 0
+        if latest:
+            self._write_state(tier, latest, man["partitions"])
+        cutoff = latest - keep
+        doomed: list[str] = []
+        kept_stones = []
+        for ts in man.get("tombstones", []):
+            # a tombstone at snapshot s retires files referenced only by
+            # snapshots < s; once s itself ages past the keep horizon no
+            # travelable state references them
+            if ts["snapshot"] <= cutoff:
+                doomed.extend(ts["paths"])
+            else:
+                kept_stones.append(ts)
+        if kept_stones:
+            man["tombstones"] = kept_stones
+        else:
+            man.pop("tombstones", None)
+        self._commit(tier, man)
+        for rel in doomed:
+            p = os.path.join(self.root, rel)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        # state files age out on the same horizon (a kept state never
+        # references vacuumed files: the tombstone that retired them is,
+        # by the check above, older than every kept snapshot)
+        for sp in glob.glob(os.path.join(self._state_dir(tier), "snap-*.json")):
+            sid = int(os.path.basename(sp)[5:-5])
+            if sid <= cutoff and sid != latest:  # latest is always readable
+                try:
+                    os.remove(sp)
+                except FileNotFoundError:
+                    pass
+        return doomed
+
+    def _part_paths(self, tier: str, partitions: dict) -> list[str]:
+        """Root-relative paths of every file a partition state references
+        (legacy pre-file-tracking entries resolve to the day directory)."""
+        out = []
+        for d in sorted(partitions):
+            part = partitions[d]
+            day_rel = os.path.relpath(self.tier_path(tier, d), self.root)
+            names = part.get("files")
+            if names:
+                out.extend(os.path.join(day_rel, n) for n in names)
+            else:
+                out.append(day_rel)
+        return out
+
+    def rollback(self, tier: str, snapshot_id: int) -> dict:
+        """Restore the tier's live state to ``snapshot_id`` via a NEW
+        snapshot commit (history is never rewritten — Iceberg
+        rollback_to_snapshot). Files that only the abandoned snapshots
+        reference are tombstoned under the new snapshot; files the target
+        references are un-tombstoned (live again)."""
+        target = self.state_at(tier, snapshot_id)  # raises if gone
+        man = self.manifest(tier)
+        snap_id = len(man["snapshots"]) + 1
+        target_paths = set(self._part_paths(tier, target))
+        current_paths = set(self._part_paths(tier, man["partitions"]))
+        # files the target still needs must survive any pending tombstone
+        for ts in man.get("tombstones", []):
+            ts["paths"] = [p for p in ts["paths"] if p not in target_paths]
+        man["tombstones"] = [t for t in man.get("tombstones", []) if t["paths"]]
+        missing = [
+            p for p in target_paths if not os.path.exists(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise SnapshotExpiredError(
+                f"tier '{tier}' snapshot {snapshot_id}: {len(missing)} data "
+                f"file(s) already vacuumed (e.g. {missing[0]})"
+            )
+        self._tombstone(man, snap_id, sorted(current_paths - target_paths))
+        man["partitions"] = target
+        man["snapshots"].append(
+            {"id": snap_id, "op": "rollback", "to": snapshot_id}
+        )
+        self._finalize(tier, man)
+        return {"snapshot": snap_id, "restored": snapshot_id}
+
+    def expire_snapshots(self, tier: str, keep_last: int = 0) -> list[str]:
+        """Force-vacuum tombstones and state files older than the last
+        ``keep_last`` snapshots (Iceberg expire_snapshots). Returns the
+        root-relative paths physically removed."""
+        man = self.manifest(tier)
+        return self._finalize(tier, man, keep=keep_last)
 
     def committed_days(self, tier: str) -> set[str]:
         return set(self.manifest(tier)["partitions"])
@@ -182,7 +351,7 @@ class TierStore:
                 )
                 part["files"] = existing
             part["files"].extend(names)
-        self._commit(tier, man)
+        self._finalize(tier, man)
         return {"written": n, "skipped_epoch": None}
 
     def read_tier_log(
@@ -286,30 +455,33 @@ class TierStore:
                 "snapshot": snap_id,
                 "files": files.get(day, []),
             }
-        self._commit(tier, man)
+        self._finalize(tier, man)
         return {"written_days": sorted(stats), "skipped_days": sorted(done)}
 
     # -------------------------------------------------------------- read
 
-    def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
-        """Scan only the files committed in the manifest (time travel-lite:
-        expired days — and orphan files from a crashed write — are
-        invisible even before they are vacuumed)."""
-        man = self.manifest(tier)
-        live = sorted(man["partitions"])
-        if not live:
+    def read_tier(
+        self, spark: SparkSession, tier: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Scan only the files committed in the manifest — or, with
+        ``as_of=<snapshot id>``, the files of that PAST snapshot's state
+        (Iceberg ``VERSION AS OF``; requires the snapshot inside the
+        store's ``snapshot_keep`` horizon, else ``SnapshotExpiredError``).
+        Orphan files from a crashed write are invisible either way."""
+        parts = (
+            self.manifest(tier)["partitions"]
+            if as_of is None
+            else self.state_at(tier, as_of)
+        )
+        if not parts:
             raise ValueError(
                 f"tier '{tier}' has no committed partitions "
-                f"(manifest {self._manifest_path(tier)})"
+                f"(manifest {self._manifest_path(tier)}, as_of={as_of})"
             )
-        paths = []
-        for d in live:
-            names = man["partitions"][d].get("files")
-            day_dir = self.tier_path(tier, d)
-            if names:
-                paths.extend(os.path.join(day_dir, n) for n in names)
-            else:  # pre-file-tracking manifest: whole-directory fallback
-                paths.append(day_dir)
+        paths = [
+            os.path.join(self.root, rel)
+            for rel in self._part_paths(tier, parts)
+        ]
         df = spark.read.option("basePath", self.tier_path(tier)).parquet(*paths)
         # partition-column inference would type `day` as DATE; keep the
         # manifest's string form for a stable schema
@@ -351,14 +523,15 @@ class TierStore:
         expired = sorted(d for d in man["partitions"] if d < cutoff)
         if not expired:
             return []
+        snap_id = len(man["snapshots"]) + 1
+        retired = self._part_paths(
+            tier, {d: man["partitions"][d] for d in expired}
+        )
         for d in expired:
             del man["partitions"][d]
-        man["snapshots"].append(
-            {"id": len(man["snapshots"]) + 1, "op": "expire", "days": expired}
-        )
-        self._commit(tier, man)
-        for d in expired:  # vacuum
-            shutil.rmtree(self.tier_path(tier, d), ignore_errors=True)
+        man["snapshots"].append({"id": snap_id, "op": "expire", "days": expired})
+        self._tombstone(man, snap_id, retired)
+        self._finalize(tier, man)
         return expired
 
     def drop_partitions(self, tier: str, days: list[str], op: str = "drop") -> list[str]:
@@ -370,26 +543,13 @@ class TierStore:
         hit = [d for d in days if d in man["partitions"]]
         if not hit:
             return []
-        vacuum: list[str] = []
+        snap_id = len(man["snapshots"]) + 1
+        retired = self._part_paths(tier, {d: man["partitions"][d] for d in hit})
         for d in hit:
-            names = man["partitions"][d].get("files") or []
-            day_dir = self.tier_path(tier, d)
-            vacuum.extend(os.path.join(day_dir, n) for n in names)
-            if not names:  # pre-file-tracking: whole directory
-                vacuum.append(day_dir)
             del man["partitions"][d]
-        man["snapshots"].append(
-            {"id": len(man["snapshots"]) + 1, "op": op, "days": sorted(hit)}
-        )
-        self._commit(tier, man)
-        for p in vacuum:
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                try:
-                    os.remove(p)
-                except FileNotFoundError:
-                    pass
+        man["snapshots"].append({"id": snap_id, "op": op, "days": sorted(hit)})
+        self._tombstone(man, snap_id, retired)
+        self._finalize(tier, man)
         return sorted(hit)
 
     def compact(
@@ -450,10 +610,8 @@ class TierStore:
         man["snapshots"].append(
             {"id": snap_id, "op": "compact", "days": [day], "files": len(new_names)}
         )
-        self._commit(tier, man)
-        for p in old_paths:  # vacuum the replaced generation
-            try:
-                os.remove(p)
-            except FileNotFoundError:
-                pass
+        self._tombstone(
+            man, snap_id, [os.path.relpath(p, self.root) for p in old_paths]
+        )
+        self._finalize(tier, man)
         return n
