@@ -73,6 +73,15 @@ def main(argv: list[str] | None = None) -> dict:
         "~1.6x the hist tier's rows); opting in records the measured "
         "lb_1m/hist_1m row ratio in the job metrics",
     )
+    p.add_argument(
+        "--snapshot-keep",
+        type=int,
+        default=0,
+        metavar="N",
+        help="keep the last N tier-store snapshots time-travelable "
+        "(read_tier as_of / rollback); retired files are tombstoned and "
+        "vacuumed only past this horizon. 0 (default) vacuums at commit",
+    )
     args = p.parse_args(argv)
 
     extra = (
@@ -81,7 +90,7 @@ def main(argv: list[str] | None = None) -> dict:
         else None
     )
     spark = get_spark("rollup_job", master=args.master, extra_conf=extra)
-    store = TierStore(args.store)
+    store = TierStore(args.store, snapshot_keep=args.snapshot_keep)
     run_params = {"input": args.input, "job": "rollup_job", "version": 1}
 
     t0 = time.perf_counter()

@@ -329,3 +329,33 @@ def test_job_lb_tier0_opt_in_records_collapse_ratio(spark, tmp_path):
     assert len(stored) == len(direct) > 0
     assert (stored["bucket"] == direct["bucket"]).all()
     assert (stored["cnt"] == direct["cnt"]).all()
+
+
+def test_job_snapshot_keep_time_travel(spark, tmp_path):
+    """--snapshot-keep N: a retention-expired tier stays readable at its
+    pre-expire snapshot, and rollback restores it — the job-level
+    Iceberg-snapshot checkpoint story (expire defers its vacuum)."""
+    from insar_spark.sources.catalog import TierStore
+
+    store_path = str(tmp_path / "tiers_tt")
+    argv = [
+        "--input", "synth:40", "--store", store_path,
+        "--master", "local[4]", "--snapshot-keep", "5",
+    ]
+    job_main(argv)
+    store = TierStore(store_path, snapshot_keep=5)
+    snap = store.current_snapshot_id("1m")
+    n = store.read_tier(spark, "1m").count()
+    assert n > 0
+
+    # re-run far past every retention horizon: all 1m days expire
+    m2 = job_main(argv + ["--expire-asof", "2030-01-01"])
+    assert m2["expired"]["1m"]
+    assert store.committed_days("1m") == set()
+    # the pre-expire snapshot still serves reads (files tombstoned, kept)
+    assert store.read_tier(spark, "1m", as_of=snap).count() == n
+    # rollback makes it live again; closing the horizon afterwards must
+    # not tear the restored state (tombstones were cancelled)
+    store.rollback("1m", snap)
+    store.expire_snapshots("1m", keep_last=0)
+    assert store.read_tier(spark, "1m").count() == n
