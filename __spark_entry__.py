@@ -3554,6 +3554,117 @@ QUALIFY row_number() OVER w <= 10
 """
 
 
+def q_m4_downsample_1w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per series
+    and calendar week, the first/min/max/last points — the minimal point
+    set that renders the week's line segment pixel-exactly. Pure JVM
+    aggregation with packed-integer tie-breaks (earliest point wins on
+    equal values), one shuffle with map-side partials."""
+    from insar_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(events_series(spark, sf_dir), "week")
+
+
+_SQL_M4_1W = f"""
+{SERIES_CTE}
+, p AS (
+  SELECT conv_id, turn_idx, ts, v,
+         date_trunc('week', ts) AS window_start,
+         CAST(round(v*100) AS BIGINT) * 1073741824 + turn_idx AS kmin,
+         CAST(round(v*100) AS BIGINT) * 1073741824
+           + (1073741823 - turn_idx) AS kmax
+  FROM t
+)
+SELECT conv_id, window_start,
+       count(*)::BIGINT      AS n_points,
+       arg_min(v, turn_idx)  AS v_first,
+       arg_min(ts, turn_idx) AS ts_first,
+       min(v)                AS v_min,
+       arg_min(ts, kmin)     AS ts_min,
+       max(v)                AS v_max,
+       arg_max(ts, kmax)     AS ts_max,
+       arg_max(v, turn_idx)  AS v_last,
+       arg_max(ts, turn_idx) AS ts_last
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample (Steinarsson 2013) to 24 points per series —
+    shape-preserving chart decimation. Sequential per series, so it runs
+    in the batched keyed-map Arrow kernel; selection uses EXACT integer
+    areas (y scaled x100, x as µs offsets), so the oracle — the same
+    recurrence unrolled into 22 chained argmax CTEs over HUGEINT — picks
+    bit-identical points (no float-summation lottery)."""
+    from insar_spark.operators.downsample import lttb_downsample
+
+    return lttb_downsample(events_series(spark, sf_dir), 24)
+
+
+def _lttb_sql(n_out: int = 24) -> str:
+    """DuckDB mirror of the LTTB recurrence: the sequential previous-point
+    dependency is unrolled into one argmax CTE per bucket (the repo's
+    standard oracle move for per-series recurrences, cf. the W6 fold)."""
+    b = n_out - 2
+    parts = [SERIES_CTE]
+    parts.append(f"""
+, s AS (
+  SELECT conv_id, turn_idx, ts, v,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         (epoch_us(ts)
+           - min(epoch_us(ts)) OVER (PARTITION BY conv_id))::HUGEINT AS x,
+         CAST(round(v*100) AS HUGEINT) AS y
+  FROM t
+)
+, short AS (
+  SELECT conv_id, turn_idx AS sel_idx, ts, v FROM s WHERE n <= {n_out}
+)
+, pts AS (
+  SELECT *, CASE WHEN turn_idx = 0 THEN -1
+                 WHEN turn_idx = n - 1 THEN {b}
+                 ELSE ((turn_idx - 1) * {b}) // (n - 2) END AS bucket
+  FROM s WHERE n > {n_out}
+)
+, agg AS (
+  SELECT conv_id, bucket, count(*)::HUGEINT AS m, sum(x) AS sx, sum(y) AS sy
+  FROM pts WHERE bucket BETWEEN 0 AND {b - 1} GROUP BY 1, 2
+)
+, nxt AS (
+  SELECT conv_id, bucket - 1 AS k, m, sx, sy FROM agg WHERE bucket >= 1
+  UNION ALL
+  SELECT conv_id, {b - 1} AS k, 1::HUGEINT AS m, x AS sx, y AS sy
+  FROM pts WHERE bucket = {b}
+)
+, s0 AS (SELECT conv_id, x AS px, y AS py, ts, v FROM pts WHERE bucket = -1)""")
+    for k in range(b):
+        parts.append(f"""
+, s{k + 1} AS (
+  SELECT c.conv_id, c.x AS px, c.y AS py, c.ts, c.v
+  FROM pts c
+  JOIN s{k} p ON p.conv_id = c.conv_id
+  JOIN nxt a ON a.conv_id = c.conv_id AND a.k = {k}
+  WHERE c.bucket = {k}
+  QUALIFY row_number() OVER (PARTITION BY c.conv_id ORDER BY
+    abs((p.px * a.m - a.sx) * (c.y - p.py)
+        - (p.px - c.x) * (a.sy - p.py * a.m)) DESC, c.turn_idx) = 1
+)""")
+    sels = "\nUNION ALL\n".join(
+        f"SELECT conv_id, {i} AS sel_idx, ts, v FROM s{i}" for i in range(b + 1)
+    )
+    parts.append(
+        f"""
+SELECT * FROM short
+UNION ALL
+{sels}
+UNION ALL
+SELECT conv_id, {n_out - 1} AS sel_idx, ts, v FROM pts WHERE bucket = {b}"""
+    )
+    return "".join(parts)
+
+
+_SQL_LTTB = _lttb_sql(24)
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -3564,9 +3675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in CORRECTNESS_r01/r02.json rotate past position 50 (their history
     persists; nothing is lost by rotating them out of the window)."""
     return {
-        # -- new in round 5: KMV distinct sketch (set-intersection
-        #    capability) + count-min hot keys + bitmap saturation + signed
-        #    lb delta tails ------------------------------------------------
+        # -- new in round 5: visualization downsample family (M4 + LTTB),
+        #    KMV distinct sketch (set-intersection capability), count-min
+        #    hot keys, bitmap saturation, signed lb delta tails -----------
+        "m4_downsample_1w": q_m4_downsample_1w,
+        "lttb_downsample": q_lttb_downsample,
         "kmv_distinct_1h": q_kmv_distinct_1h,
         "kmv_overlap_types_1d": q_kmv_overlap_types_1d,
         "kmv_retention_1d": q_kmv_retention_1d,
@@ -3675,6 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "m4_downsample_1w": _SQL_M4_1W,
+        "lttb_downsample": _SQL_LTTB,
         "flagship_rollup_1m": _SQL_ROLLUP_1M,
         "rollup_cascade_1h": _SQL_ROLLUP_1H,
         "rollup_cascade_1d": _SQL_ROLLUP_1D,

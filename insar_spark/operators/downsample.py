@@ -1,0 +1,152 @@
+"""Visualization-grade per-series downsampling: M4 and LTTB.
+
+The tier cascade (rollup.py) downsamples by AGGREGATING (mean/min/max per
+window) — the right thing for analytics. Chart serving wants the other
+kind: keep a few REAL points per series that preserve the line's shape.
+Two standard operators, both over the transcript event series
+(reference analog: the reference decimates interferogram stacks for
+browse products, insar/prepare.py ``looks``/downsample paths — here
+re-expressed as first-class per-series operators):
+
+* ``m4_downsample`` — per (series, time bucket) keep the first / min /
+  max / last points (M4, Jugel et al., VLDB 2014: the minimal point set
+  that renders a pixel-exact line chart). Pure JVM aggregation — one
+  shuffle, map-side partials; at 100 TB this is the same plan class as
+  the stats tier build.
+* ``lttb_downsample`` — Largest-Triangle-Three-Buckets (Steinarsson
+  2013): fixed ``n_out`` points per series, each bucket contributing the
+  point that maximizes the triangle area with the previously selected
+  point and the next bucket's centroid. Inherently sequential per series
+  -> batched keyed-map Arrow kernel (operators/batched.py), one shuffle.
+
+Cross-engine determinism: both operators break ties on the PACKED integer
+key ``round(v*100) * 2^30 ± turn_idx`` (values in the synthetic corpus
+are exact 2-decimals; turn_idx < 2^30), and the LTTB areas are computed
+in exact integer arithmetic — y scaled by 100, x as microsecond offsets
+from the series start, Python ints in the kernel / HUGEINT in the DuckDB
+oracle — so the argmax selection cannot flip on float summation order
+(the w5 rounding-lottery lesson, BENCH.md §0b.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from insar_spark.operators.series import KEY
+
+# tie-break packing: v100 * 2^30 + idx keeps (value, index) lexicographic
+# order in one comparable int64 (v100 ≲ 2^23 at the corpus value range)
+_PACK = 1 << 30
+
+
+def m4_downsample(
+    df: DataFrame,
+    every: str = "week",
+    value_col: str = "v",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """M4: one row per (series, bucket) carrying the first/min/max/last
+    points. ``every`` is a date_trunc unit (week/day/hour — calendar
+    truncation, identical in Spark and DuckDB); ``min``/``max`` ties
+    resolve to the earliest point in the bucket (packed-key
+    arg_min/arg_max — deterministic cross-engine)."""
+    v100 = F.round(F.col(value_col) * 100).cast("bigint")
+    key_min = v100 * _PACK + F.col(idx_col)
+    key_max = v100 * _PACK + (F.lit(_PACK - 1) - F.col(idx_col))
+    return (
+        df.withColumn("_kmin", key_min)
+        .withColumn("_kmax", key_max)
+        .groupBy(KEY, F.date_trunc(every, "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr(f"min_by({value_col}, {idx_col})").alias("v_first"),
+            F.expr(f"min_by(ts, {idx_col})").alias("ts_first"),
+            F.min(value_col).alias("v_min"),
+            F.expr("min_by(ts, _kmin)").alias("ts_min"),
+            F.max(value_col).alias("v_max"),
+            F.expr("max_by(ts, _kmax)").alias("ts_max"),
+            F.expr(f"max_by({value_col}, {idx_col})").alias("v_last"),
+            F.expr(f"max_by(ts, {idx_col})").alias("ts_last"),
+        )
+    )
+
+
+def _lttb_select(x: list[int], y: list[int], n_out: int) -> list[int]:
+    """Exact-integer LTTB index selection (Python ints — no float areas).
+
+    Buckets split the n-2 interior points by INDEX (bucket k = indices i
+    with floor((i-1)*(n_out-2)/(n-2)) == k); the candidate maximizing
+    |(px*m - Sx)*(cy - py) - (px - cx)*(Sy - py*m)| wins (the triangle
+    area against the previous pick and the next bucket's centroid,
+    scaled by the bucket size m to stay integral), earliest index on
+    ties. First and last points are always kept."""
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    b = n_out - 2
+    interior = n - 2
+    # bucket of interior index i (1-based over 1..n-2): floor((i-1)*b/interior)
+    # — the same membership formula the SQL oracle evaluates per row; the
+    # first index of bucket k is therefore 1 + ceil(k*interior/b)
+    starts = [1 + (k * interior + b - 1) // b for k in range(b)]
+    ends = starts[1:] + [n - 1]  # exclusive
+    sel = [0]
+    px, py = x[0], y[0]
+    for k in range(b):
+        if k + 1 < b:
+            lo, hi = starts[k + 1], ends[k + 1]
+            m = hi - lo
+            sx = sum(x[lo:hi])
+            sy = sum(y[lo:hi])
+        else:  # last bucket's "next" is the final point
+            m, sx, sy = 1, x[n - 1], y[n - 1]
+        best, best_area = None, -1
+        for i in range(starts[k], ends[k]):
+            area = abs((px * m - sx) * (y[i] - py) - (px - x[i]) * (sy - py * m))
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+        px, py = x[best], y[best]
+    sel.append(n - 1)
+    return sel
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int = 24,
+    value_col: str = "v",
+) -> DataFrame:
+    """LTTB to ``n_out`` points per series (passthrough when the series is
+    already that short). Output: (conv_id, sel_idx, ts, v) — sel_idx is
+    the selection rank, ts/v are the ORIGINAL point's coordinates."""
+    schema = f"{KEY} string, sel_idx int, ts timestamp, {value_col} double"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        x = [int(t - ts[0]) for t in ts]
+        y = [int(v) for v in np.round(pdf[value_col].to_numpy() * 100)]
+        sel = _lttb_select(x, y, n_out)
+        take = pdf.iloc[sel]
+        return pd.DataFrame(
+            {
+                KEY: take[KEY].to_numpy(),
+                "sel_idx": np.arange(len(sel), dtype="int32"),
+                "ts": take["ts"].to_numpy(),
+                value_col: take[value_col].to_numpy(),
+            }
+        )
+
+    from insar_spark.operators.batched import keyed_map
+
+    return keyed_map(
+        df.select(KEY, "turn_idx", "ts", value_col),
+        KEY,
+        ["turn_idx"],
+        pick,
+        schema,
+    )
