@@ -116,6 +116,10 @@ def headline_queries(spark):
             # count-min frequency tier (watchlist probe)
             "distinct_hll_1h",
             "hot_convs_cms_1h",
+            # r5 additions: visualization downsample family — M4 is the
+            # pure-JVM agg shape, LTTB the batched-Arrow sequential shape
+            "m4_downsample_1w",
+            "lttb_downsample",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

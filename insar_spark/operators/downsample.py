@@ -75,6 +75,34 @@ def m4_downsample(
     )
 
 
+def m4_cascade(m4: DataFrame, every: str = "week") -> DataFrame:
+    """Merge a STORED fine M4 tier into coarser buckets — exact, because
+    every M4 component composes: fine buckets are disjoint time ranges,
+    so first/last compose on bucket order, and the coarse min/max
+    tie-break ("earliest point attaining the extreme") resolves to the
+    earliest fine bucket attaining it, whose own ts_min/ts_max is
+    already the earliest within the bucket. m4_cascade(m4(raw, day),
+    week) == m4(raw, week) row-for-row (tested)."""
+    src = m4.withColumnRenamed("window_start", "ws0")
+    return src.groupBy(
+        KEY, F.date_trunc(every, "ws0").alias("window_start")
+    ).agg(
+        F.sum("n_points").alias("n_points"),
+        F.expr("min_by(v_first, ws0)").alias("v_first"),
+        F.expr("min_by(ts_first, ws0)").alias("ts_first"),
+        F.min("v_min").alias("v_min"),
+        F.expr("min_by(ts_min, struct(v_min, unix_micros(ws0)))").alias(
+            "ts_min"
+        ),
+        F.max("v_max").alias("v_max"),
+        F.expr("max_by(ts_max, struct(v_max, -unix_micros(ws0)))").alias(
+            "ts_max"
+        ),
+        F.expr("max_by(v_last, ws0)").alias("v_last"),
+        F.expr("max_by(ts_last, ws0)").alias("ts_last"),
+    )
+
+
 def _lttb_select(x: list[int], y: list[int], n_out: int) -> list[int]:
     """Exact-integer LTTB index selection (Python ints — no float areas).
 

@@ -400,12 +400,42 @@ def main(argv: list[str] | None = None) -> dict:
             "skipped_days": len(res["skipped_days"]),
         }
 
+        # M4 downsample tier: the chart-serving shape (first/min/max/last
+        # real points per bucket, downsample.py). Every component
+        # composes exactly, so the weekly tier cascades from the STORED
+        # daily tier (== direct weekly build, tested). One row per
+        # (series, bucket) — tier-0 persistence always cheap.
+        from insar_spark.operators.downsample import m4_cascade, m4_downsample
+
+        m4_src = turns.select(
+            "conv_id", "turn_idx", "ts",
+            F.length("text").cast("double").alias("text_len"),
+        )
+        res = store.write_tier(
+            m4_downsample(m4_src, "day", value_col="text_len"),
+            "m4_1d",
+            run_params=run_params,
+        )
+        metrics["tiers"]["m4_1d"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+        stored_m4_1d = store.read_tier(spark, "m4_1d").drop("day")
+        res = store.write_tier(
+            m4_cascade(stored_m4_1d, "week"), "m4_1w", run_params=run_params
+        )
+        metrics["tiers"]["m4_1w"] = {
+            "written_days": len(res["written_days"]),
+            "skipped_days": len(res["skipped_days"]),
+        }
+
     if args.expire_asof:
         tiers = ("1m", "1h", "1d") + (
             (
                 "hist_1m", "hist_1h", "lb_1h", "lb_1d",
                 "dist_1m", "dist_1h", "hll_1m", "hll_1h",
                 "cms_1m", "cms_1h", "kmv_1m", "kmv_1h",
+                "m4_1d", "m4_1w",
             )
             + (("lb_1m",) if args.lb_tier0 else ())
             if args.sketch

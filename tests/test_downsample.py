@@ -120,3 +120,29 @@ def test_m4_bounds_contain_all_points(spark):
     assert (out["v_max"] >= out["v_first"]).all()
     assert (out["v_max"] >= out["v_last"]).all()
     assert out["n_points"].sum() == len(pdf)
+
+
+def test_m4_cascade_equals_direct(spark, transcripts):
+    """m4_cascade(m4(raw, day), week) == m4(raw, week) — the exactness
+    property that lets the weekly tier build from the STORED daily tier."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.downsample import m4_cascade
+
+    src = transcripts.select(
+        "conv_id", "turn_idx", "ts",
+        F.length("text").cast("double").alias("text_len"),
+    )
+    direct = (
+        m4_downsample(src, "week", value_col="text_len")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    cascaded = (
+        m4_cascade(m4_downsample(src, "day", value_col="text_len"), "week")
+        .toPandas()[direct.columns.tolist()]
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, cascaded, check_exact=True)

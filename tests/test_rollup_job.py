@@ -78,6 +78,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m1["tiers"]["cms_1h"]["written_days"] > 0
     assert m1["tiers"]["kmv_1m"]["written_days"] > 0
     assert m1["tiers"]["kmv_1h"]["written_days"] > 0
+    assert m1["tiers"]["m4_1d"]["written_days"] > 0
+    assert m1["tiers"]["m4_1w"]["written_days"] > 0
 
     m2 = job_main(argv)
     assert m2["tiers"]["hist_1m"]["written_days"] == 0
@@ -91,6 +93,8 @@ def test_job_sketch_tiers_resume_and_match_direct(spark, tmp_path):
     assert m2["tiers"]["cms_1h"]["written_days"] == 0
     assert m2["tiers"]["kmv_1m"]["written_days"] == 0
     assert m2["tiers"]["kmv_1h"]["written_days"] == 0
+    assert m2["tiers"]["m4_1d"]["written_days"] == 0
+    assert m2["tiers"]["m4_1w"]["written_days"] == 0
 
     store = TierStore(store_path)
     stored = (
