@@ -58,7 +58,7 @@ DEFAULT_RETENTION: dict[str, int | None] = {
     "hist_1m": 7, "hist_1h": 90,
     "lb_1m": 7, "lb_1h": 90, "lb_1d": None,
     "dist_1m": 7, "dist_1h": 90,
-    "m4_1d": 90, "m4_1w": None,
+    "m4_1m": 7, "m4_1d": 90, "m4_1w": None,
 }
 
 

@@ -420,6 +420,58 @@ def streaming_hist_1m(
     )
 
 
+def streaming_m4_1m(
+    turns: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 1m M4 downsample tier: the first/min/max/last REAL
+    points per (series, window). All four components are min_by/max_by
+    over packed bigint keys — plain incremental SQL aggregates, so no
+    custom state — and every component composes across buckets, so the
+    streamed tier cascades through ``downsample.m4_cascade`` identically
+    to a batch-built one (stream == batch test)."""
+    from insar_spark.operators.downsample import _PACK
+
+    src = turns.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.length("text").cast("double").alias("text_len"),
+    )
+    v100 = F.round(F.col("text_len") * 100).cast("bigint")
+    return (
+        src.withColumn("_kmin", v100 * _PACK + F.col("turn_idx"))
+        .withColumn(
+            "_kmax", v100 * _PACK + (F.lit(_PACK - 1) - F.col("turn_idx"))
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by("text_len", "turn_idx").alias("v_first"),
+            F.min_by("ts", "turn_idx").alias("ts_first"),
+            F.min("text_len").alias("v_min"),
+            F.min_by("ts", "_kmin").alias("ts_min"),
+            F.max("text_len").alias("v_max"),
+            F.max_by("ts", "_kmax").alias("ts_max"),
+            F.max_by("text_len", "turn_idx").alias("v_last"),
+            F.max_by("ts", "turn_idx").alias("ts_last"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            "n_points",
+            "v_first",
+            "ts_first",
+            "v_min",
+            "ts_min",
+            "v_max",
+            "ts_max",
+            "v_last",
+            "ts_last",
+        )
+    )
+
+
 def streaming_distinct_by_role_1m(
     turns: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

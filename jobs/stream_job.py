@@ -242,6 +242,37 @@ def run_cycle(
             )
             cmsseal["cascaded"]["cms_1h"] = rcms["written_days"]
         seal["sketch_cms"] = cmsseal
+
+        # the M4 downsample tier: its min_by/max_by components are plain
+        # incremental aggregates and every component composes across
+        # buckets, so the live 1m layer seals and cascades into the
+        # daily chart-serving tier with no custom state
+        from insar_spark.operators.downsample import m4_cascade
+        from insar_spark.streaming.rollup_stream import streaming_m4_1m
+
+        qm = stream_to_tierstore(
+            spark, src, store, checkpoint_dir=checkpoint + "_m4",
+            watermark=watermark, tier="m4_1m_log",
+            rollup_builder=streaming_m4_1m,
+        )
+        try:
+            qm.processAllAvailable()
+        finally:
+            qm.stop()
+        m4seal = seal_and_compact(
+            spark, store, log_tier="m4_1m_log", sealed_tier="m4_1m",
+            watermark=watermark, log_keys=("conv_id", "window_start"),
+        )
+        m4seal["cascaded"] = {}
+        if m4seal["written_days"]:
+            stored_m4 = store.read_tier(spark, "m4_1m").drop("day")
+            rm4 = store.write_tier(
+                m4_cascade(stored_m4, "day"), "m4_1d",
+                run_params={"source": "stream_cycle_cascade"},
+                seal_before=m4seal["seal_before"],
+            )
+            m4seal["cascaded"]["m4_1d"] = rm4["written_days"]
+        seal["sketch_m4"] = m4seal
     return seal
 
 
@@ -316,6 +347,10 @@ def main(argv: list[str] | None = None) -> dict:
             )
             metrics["cascaded_cms_1h_days"] = len(
                 seal["sketch_cms"]["cascaded"].get("cms_1h", [])
+            )
+            metrics["sealed_m4_days"] = len(seal["sketch_m4"]["written_days"])
+            metrics["cascaded_m4_1d_days"] = len(
+                seal["sketch_m4"]["cascaded"].get("m4_1d", [])
             )
         print(json.dumps(metrics), flush=True)
         if args.drain or (args.max_cycles and cycle >= args.max_cycles):

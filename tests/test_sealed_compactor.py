@@ -191,6 +191,8 @@ def test_stream_cycle_sketch_tier_seals_and_matches_batch(spark, tmp_path, trans
     assert hseal["cascaded"]["hist_1h"]
     assert len(s1["sketch_lb"]["written_days"]) > 0
     assert s1["sketch_lb"]["cascaded"]["lb_1h"]
+    assert len(s1["sketch_m4"]["written_days"]) > 0
+    assert s1["sketch_m4"]["cascaded"]["m4_1d"]
 
     sealed = (
         store.read_tier(spark, "hist_1m")
@@ -217,9 +219,43 @@ def test_stream_cycle_sketch_tier_seals_and_matches_batch(spark, tmp_path, trans
     assert len(sealed) == len(direct) > 0
     assert [list(h) for h in sealed["hist"]] == [list(h) for h in direct["hist"]]
 
+    # the sealed M4 days are bit-equal to the batch minute M4
+    from insar_spark.operators.downsample import m4_downsample
+
+    m4_sealed = (
+        store.read_tier(spark, "m4_1m")
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    m4_direct = m4_downsample(
+        transcripts.select(
+            "conv_id", "turn_idx", "ts",
+            F.length("text").cast("double").alias("text_len"),
+        ),
+        "minute",
+        value_col="text_len",
+    )
+    m4_direct = (
+        m4_direct.withColumn(
+            "day", F.date_format("window_start", "yyyy-MM-dd")
+        )
+        .filter(F.col("day") < s1["sketch_m4"]["seal_before"])
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(m4_sealed) == len(m4_direct) > 0
+    pd.testing.assert_frame_equal(
+        m4_sealed[m4_direct.columns.tolist()], m4_direct, check_exact=True
+    )
+
     s2 = run_cycle(spark, store, src, ckpt, watermark="60 minutes", sketch=True)
     assert len(s2["sketch"]["written_days"]) == 0
     assert len(s2["sketch_lb"]["written_days"]) == 0
+    assert len(s2["sketch_m4"]["written_days"]) == 0
 
 
 def test_stream_seal_global_distinct_tier(spark, tmp_path, transcripts):

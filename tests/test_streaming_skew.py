@@ -435,3 +435,69 @@ def test_streaming_hll_matches_batch(spark, tmp_path, transcripts):
         .collect()
     }
     assert g == e and len(g) > 0
+
+
+def test_streaming_m4_matches_batch_and_cascades(spark, tmp_path, transcripts):
+    """Streaming-built 1m M4 tier == batch m4_downsample on the same
+    turns, and the weekly cascade from the streamed tier equals the
+    direct weekly build — the downsample family rides the seal cycle
+    like every sketch family."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.downsample import m4_cascade, m4_downsample
+    from insar_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        streaming_m4_1m,
+    )
+
+    src = str(tmp_path / "m4_src")
+    transcripts.write.mode("overwrite").parquet(src)
+
+    stream = streaming_m4_1m(
+        read_transcript_stream(spark, src, max_files_per_trigger=None)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("m4_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM m4_stream")
+    batch_src = transcripts.select(
+        "conv_id", "turn_idx", "ts",
+        F.length("text").cast("double").alias("text_len"),
+    )
+    exp = m4_downsample(batch_src, "minute", value_col="text_len")
+
+    cols = exp.columns
+    g = (
+        got.toPandas()[cols]
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    e = (
+        exp.toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(g) == len(e) > 0
+    pd.testing.assert_frame_equal(g, e, check_exact=True)
+
+    gw = (
+        m4_cascade(got, "week")
+        .toPandas()[cols]
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    ew = (
+        m4_downsample(batch_src, "week", value_col="text_len")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gw, ew, check_exact=True)
