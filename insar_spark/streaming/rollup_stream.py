@@ -652,6 +652,29 @@ def cms_realtime_1h_view(
     )
 
 
+def m4_realtime_1d_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "m4_1m_log",
+    fine_tier: str = "m4_1m",
+    coarse_tier: str = "m4_1d",
+) -> DataFrame:
+    """Real-time M4 chart serve: "today's line chart right now" from
+    sealed daily M4 + sealed 1m M4 + the live epoch log, merged through
+    the exact ``m4_cascade`` (every M4 component composes, and the live
+    update-mode partials are complete current 1m aggregates — so the
+    stitched view is bit-equal to a batch day-M4 over everything that
+    has arrived). Day-level layer exclusion is exact for daily windows
+    because window_start IS the day."""
+    from insar_spark.operators.downsample import m4_cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: m4_cascade(fine, "day"),
+        ("conv_id", "window_start"),
+        log_tier, fine_tier, coarse_tier,
+    )
+
+
 def streaming_lb_1m(
     turns: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

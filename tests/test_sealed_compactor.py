@@ -751,3 +751,76 @@ def test_hll_realtime_view_three_layers(spark, tmp_path, transcripts):
     # the live (log) layer really contributes: view covers days past the
     # 1m seal horizon
     assert any(str(t[0].date()) >= sb for t in got)
+
+
+def test_m4_realtime_view_three_layers(spark, tmp_path, transcripts):
+    """The generic three-layer view on the M4 downsample family: "today's
+    chart right now" served from committed m4_1d days + sealed m4_1m days
+    the daily cascade hasn't covered + the live epoch log — with all THREE
+    layers genuinely populated — is bit-equal to a batch day-M4 over every
+    turn that has arrived."""
+    import datetime as dt
+
+    from insar_spark.operators.downsample import m4_cascade, m4_downsample
+    from insar_spark.streaming.rollup_stream import (
+        m4_realtime_1d_view,
+        seal_and_compact,
+        stream_to_tierstore,
+        streaming_m4_1m,
+    )
+
+    src = str(tmp_path / "drop_m4rt")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_m4rt"))
+
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_m4rt"),
+        watermark="60 minutes", tier="m4_1m_log",
+        rollup_builder=streaming_m4_1m,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="m4_1m_log", sealed_tier="m4_1m",
+        watermark="60 minutes", log_keys=("conv_id", "window_start"),
+    )
+    assert len(seal["written_days"]) > 1
+
+    sb = seal["seal_before"]
+    sb_1d = (dt.date.fromisoformat(sb) - dt.timedelta(days=1)).isoformat()
+    stored_1m = store.read_tier(spark, "m4_1m").drop("day")
+    store.write_tier(
+        m4_cascade(stored_1m, "day"), "m4_1d",
+        run_params={"source": "test_cascade"}, seal_before=sb_1d,
+    )
+    coarse_days = store.committed_days("m4_1d")
+    mid_days = set(store.committed_days("m4_1m")) - coarse_days
+    assert coarse_days and mid_days  # both stored layers contribute
+
+    view = m4_realtime_1d_view(spark, store)
+    batch = m4_downsample(
+        transcripts.select(
+            "conv_id", "turn_idx", "ts",
+            F.length("text").cast("double").alias("text_len"),
+        ),
+        "day",
+        value_col="text_len",
+    )
+    cols = batch.columns
+    g = (
+        view.toPandas()[cols]
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    e = (
+        batch.toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(g) == len(e) > 0
+    pd.testing.assert_frame_equal(g, e, check_exact=True)
+    # the live (log) layer really contributes: view covers days past the
+    # 1m seal horizon
+    assert (g["window_start"].dt.strftime("%Y-%m-%d") >= sb).any()
