@@ -30,6 +30,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _job_tiers(args) -> tuple[str, ...]:
+    """Every tier this invocation maintains, given its flags."""
+    return ("1m", "1h", "1d") + (
+        (
+            "hist_1m", "hist_1h", "lb_1h", "lb_1d",
+            "dist_1m", "dist_1h", "hll_1m", "hll_1h",
+            "cms_1m", "cms_1h", "kmv_1m", "kmv_1h",
+            "m4_1d", "m4_1w",
+        )
+        + (("lb_1m",) if args.lb_tier0 else ())
+        if args.sketch
+        else ()
+    )
+
+
+def _partition_day(tier: str, day: str) -> str:
+    """The store partition holding ``day``'s data in ``tier``: the day
+    itself for day-or-finer windows, the containing Monday for the
+    weekly M4 tier (date_trunc('week') semantics)."""
+    if tier != "m4_1w":
+        return day
+    import datetime as dt
+
+    d = dt.date.fromisoformat(day)
+    return (d - dt.timedelta(days=d.weekday())).isoformat()
+
+
 def main(argv: list[str] | None = None) -> dict:
     from insar_spark.operators.rollup import cascade, rollup_turns
     from insar_spark.session import get_spark
@@ -74,6 +101,20 @@ def main(argv: list[str] | None = None) -> dict:
         "lb_1m/hist_1m row ratio in the job metrics",
     )
     p.add_argument(
+        "--restate-day",
+        action="append",
+        default=None,
+        metavar="YYYY-MM-DD",
+        dest="restate_days",
+        help="late/corrected data: DROP this day's committed partitions "
+        "from every tier this run maintains (the containing week for "
+        "m4_1w), then let the normal idempotent build refill exactly "
+        "those days from --input (TimescaleDB continuous-aggregate "
+        "invalidation analog). The drop is a snapshot, not a mutation: "
+        "with --snapshot-keep N the pre-restate numbers stay readable "
+        "via read_tier(as_of=...) and rollback-able. Repeatable",
+    )
+    p.add_argument(
         "--snapshot-keep",
         type=int,
         default=0,
@@ -113,6 +154,20 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     metrics: dict = {"tiers": {}, "expired": {}}
+
+    if args.restate_days:
+        # Invalidation first, rebuild via the normal flow below: dropping
+        # the day makes it "uncommitted", so write_tier refills exactly it
+        # (and the cascades, reading the STORED finer tier, pick up the
+        # restated partitions). At cluster scale the raw scan still covers
+        # the full input — the write is day-pruned, the scan is not; a
+        # backfill-only deployment would pass a day-filtered --input.
+        metrics["restated"] = {}
+        for tier in _job_tiers(args):
+            days = sorted({_partition_day(tier, d) for d in args.restate_days})
+            hit = store.drop_partitions(tier, days, op="restate")
+            if hit:
+                metrics["restated"][tier] = hit
 
     # tier 0: the only raw scan
     r1m = rollup_turns(turns, "1m")
@@ -430,18 +485,7 @@ def main(argv: list[str] | None = None) -> dict:
         }
 
     if args.expire_asof:
-        tiers = ("1m", "1h", "1d") + (
-            (
-                "hist_1m", "hist_1h", "lb_1h", "lb_1d",
-                "dist_1m", "dist_1h", "hll_1m", "hll_1h",
-                "cms_1m", "cms_1h", "kmv_1m", "kmv_1h",
-                "m4_1d", "m4_1w",
-            )
-            + (("lb_1m",) if args.lb_tier0 else ())
-            if args.sketch
-            else ()
-        )
-        for tier in tiers:
+        for tier in _job_tiers(args):
             metrics["expired"][tier] = store.expire(tier, args.expire_asof)
 
     wall = time.perf_counter() - t0

@@ -363,3 +363,112 @@ def test_job_snapshot_keep_time_travel(spark, tmp_path):
     store.rollback("1m", snap)
     store.expire_snapshots("1m", keep_last=0)
     assert store.read_tier(spark, "1m").count() == n
+
+
+def test_job_restate_day_rebuilds_all_tiers(spark, tmp_path):
+    """--restate-day (late/corrected data after a day is sealed): the
+    day's partitions are dropped across every tier the run maintains and
+    the normal idempotent build refills exactly them from the corrected
+    input — every restated tier ends bit-equal to a from-scratch build on
+    the corrected corpus, untouched days keep their exact file lists, and
+    the pre-restate numbers stay readable via snapshot time travel."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.synth import synth_transcripts
+
+    turns = synth_transcripts(spark, n_convs=40)
+    days = sorted(
+        r["d"]
+        for r in turns.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+    day = days[len(days) // 2]
+    other = days[1]
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    turns.write.mode("overwrite").parquet(v1)
+    # the correction: every turn on `day` gets longer text (changes the
+    # stats, histogram, lb, M4, and dedup-relevant columns for that day)
+    turns.withColumn(
+        "text",
+        F.when(
+            F.date_format("ts", "yyyy-MM-dd") == day,
+            F.concat(F.col("text"), F.lit("-corrected")),
+        ).otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(v2)
+
+    store_path = str(tmp_path / "tiers_rs")
+    base_argv = [
+        "--store", store_path, "--master", "local[4]",
+        "--sketch", "--snapshot-keep", "8",
+    ]
+    job_main(["--input", v1] + base_argv)
+    store = TierStore(store_path, snapshot_keep=8)
+    snap_1d = store.current_snapshot_id("1d")
+    v1_day_1d = (
+        store.read_tier(spark, "1d")
+        .filter(F.col("day") == day)
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    other_files_before = store.manifest("1d")["partitions"][other]["files"]
+
+    m = job_main(["--input", v2, "--restate-day", day] + base_argv)
+    assert m["restated"]["1d"] == [day]
+    assert m["restated"]["hist_1h"] == [day]
+    # weekly tier: the containing Monday's partition was restated
+    import datetime as dt
+
+    monday = (
+        dt.date.fromisoformat(day)
+        - dt.timedelta(days=dt.date.fromisoformat(day).weekday())
+    ).isoformat()
+    assert m["restated"]["m4_1w"] == [monday]
+    assert m["tiers"]["1d"]["written_days"] == 1  # only the dropped day
+
+    # every restated tier == a from-scratch build on the corrected corpus
+    fresh_path = str(tmp_path / "tiers_fresh")
+    job_main(["--input", v2, "--store", fresh_path, "--master", "local[4]",
+              "--sketch"])
+    fresh = TierStore(fresh_path)
+    for tier, keys in [
+        ("1d", ["conv_id", "window_start"]),
+        ("hist_1h", ["conv_id", "window_start"]),
+        ("m4_1w", ["conv_id", "window_start"]),
+    ]:
+        got = (
+            store.read_tier(spark, tier)
+            .drop("day")
+            .toPandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        exp = (
+            fresh.read_tier(spark, tier)
+            .drop("day")
+            .toPandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_exact=True)
+
+    # untouched days were not rewritten (exact same committed files)
+    assert store.manifest("1d")["partitions"][other]["files"] \
+        == other_files_before
+    # the pre-restate snapshot still serves the V1 numbers for the day
+    v1_again = (
+        store.read_tier(spark, "1d", as_of=snap_1d)
+        .filter(F.col("day") == day)
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        v1_again[v1_day_1d.columns.tolist()], v1_day_1d, check_exact=True
+    )
