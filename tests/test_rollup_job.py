@@ -472,3 +472,61 @@ def test_job_restate_day_rebuilds_all_tiers(spark, tmp_path):
     pd.testing.assert_frame_equal(
         v1_again[v1_day_1d.columns.tolist()], v1_day_1d, check_exact=True
     )
+
+
+def test_batch_restate_heals_a_stream_built_store(spark, tmp_path, transcripts):
+    """The documented backfill path: a day sealed by the STREAMING job is
+    invalidated and rebuilt by the batch job's --restate-day with a
+    day-filtered corrected input. The two jobs interoperate on one store:
+    the restated day equals a batch rollup of the corrected turns, every
+    other sealed day keeps its exact stream-built file list."""
+    from pyspark.sql import functions as F
+
+    from insar_spark.operators.rollup import rollup_turns
+    from insar_spark.sources.catalog import TierStore
+    from jobs.stream_job import run_cycle
+
+    src = str(tmp_path / "drop_bf")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_bf"))
+    seal = run_cycle(
+        spark, store, src, str(tmp_path / "ckpt_bf"), watermark="60 minutes"
+    )
+    sealed_days = sorted(store.committed_days("1m"))
+    assert len(sealed_days) > 2
+    day = sealed_days[len(sealed_days) // 2]
+    other = sealed_days[0]
+    other_files = store.manifest("1m")["partitions"][other]["files"]
+
+    # the correction, day-filtered as a real backfill job would pass it
+    corrected = transcripts.filter(
+        F.date_format("ts", "yyyy-MM-dd") == day
+    ).withColumn("text", F.concat(F.col("text"), F.lit("-fixed")))
+    v2 = str(tmp_path / "v2_bf")
+    corrected.write.mode("overwrite").parquet(v2)
+
+    m = job_main([
+        "--input", v2, "--store", str(tmp_path / "tiers_bf"),
+        "--master", "local[4]", "--restate-day", day,
+    ])
+    assert m["restated"]["1m"] == [day]
+    assert m["tiers"]["1m"]["written_days"] == 1
+
+    got = (
+        store.read_tier(spark, "1m")
+        .filter(F.col("day") == day)
+        .drop("day")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup_turns(corrected, "1m")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_exact=True)
+    # stream-built days outside the restate are untouched files
+    assert store.manifest("1m")["partitions"][other]["files"] == other_files
