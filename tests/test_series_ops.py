@@ -115,3 +115,42 @@ def test_ffill(spark, transcripts):
     )
     exp = got.groupby("conv_id", sort=False)["v"].ffill()
     pd.testing.assert_series_equal(got["v_ffill"], exp, check_names=False)
+
+
+def test_ewma_int_matches_python_recursion(spark, transcripts, transcripts_pdf):
+    """ewma_int == the reference integer recursion run in plain Python per
+    series, including signed values and the alpha=1/4 floor-shift step."""
+    from pyspark.sql import functions as F
+
+    # signed input: reference-aligned text lengths (first turn -> 0,
+    # later turns go both signs)
+    src = S.reference_align(S.with_text_len(transcripts)).select(
+        "conv_id", "turn_idx", "ts", F.col("text_len_aligned").alias("v")
+    )
+    got = (
+        S.ewma_int(src, "v")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    pdf = _pdf_sorted(transcripts_pdf)
+    pdf["v"] = pdf["text_len"] - pdf.groupby("conv_id", sort=False)[
+        "text_len"
+    ].transform("first")
+    rows = []
+    for conv, grp in pdf.groupby("conv_id", sort=False):
+        s = None
+        for _, r in grp.iterrows():
+            v100 = int(round(r["v"] * 100))
+            s = v100 if s is None else (v100 + 3 * s) >> 2
+            rows.append((conv, int(r["turn_idx"]), s / 100.0))
+    exp = (
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "v_ewma"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["v_ewma"].to_numpy() == exp["v_ewma"].to_numpy()).all()
+    # sanity: smoother tracks the signal (close to a float EWMA)
+    assert np.isfinite(got["v_ewma"]).all()
