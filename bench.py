@@ -120,6 +120,8 @@ def headline_queries(spark):
             # pure-JVM agg shape, LTTB the batched-Arrow sequential shape
             "m4_downsample_1w",
             "lttb_downsample",
+            # r5 addition: integer-exact EWMA (per-series JVM fold)
+            "ewma_smooth",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas
