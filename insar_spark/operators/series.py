@@ -199,10 +199,14 @@ def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
     list_reduce. The reference smooths solved series with lowess
     (insar/timeseries.py:934-937); EWMA is its O(1)-state streaming
     complement (one shifted add per turn — what a live per-turn smoother
-    keeps as state). Plan: one shuffle collecting each (bounded) series,
-    an O(n) JVM aggregate building the running array, posexplode back —
-    no Python, no window self-join; mega-series route through the skew
-    chunking path first like every whole-series fold.
+    keeps as state). Plan: one shuffle collecting each series, an O(n)
+    JVM aggregate building the running array, posexplode back — no
+    Python, no window self-join. Per-series task memory is ~24 B/turn
+    (one struct array), so even a 10^6-turn mega-conversation folds in
+    ~24 MB — the same whole-series envelope as the lowess/solver
+    kernels. The recursion's floor shift is NOT associative, so a
+    chunked variant must carry s sequentially across chunks; it cannot
+    use the salted two-phase pattern.
     """
     mul = F.lit((1 << shift) - 1)
     pts = F.array_sort(
