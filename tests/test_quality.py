@@ -1,0 +1,143 @@
+"""Golden + property tests for the quality/telemetry operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from insar_spark.operators import quality as Q
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float):
+    return T0 + timedelta(minutes=minutes)
+
+
+def _series(spark, rows):
+    """rows: (conv_id, turn_idx, minutes, value) -> series-shaped df with ord."""
+    df = spark.createDataFrame(
+        [(c, i, _ts(m), float(v)) for c, i, m, v in rows],
+        schema="conv_id string, turn_idx int, ts timestamp, v double",
+    )
+    return df.withColumn(
+        "ord",
+        F.floor(F.unix_micros("ts") / 1000) * (1 << 20) + F.col("turn_idx"),
+    )
+
+
+# ---------------------------------------------------------------- late data
+
+
+def test_late_data_profile_golden(spark):
+    # arrival order = event_id; c1 has one late event (id 3, 5 min behind
+    # the running max) and one frontier-tie duplicate ts (id 4)
+    rows = [
+        (1, _ts(0), 7, "m"),
+        (2, _ts(10), 7, "m"),
+        (3, _ts(5), 7, "m"),   # late by 5 min vs running max @10
+        (4, _ts(10), 7, "m"),  # ties the running max
+        (5, _ts(0), 8, "m"),   # other conv: in order
+        (6, _ts(1), 8, "m"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, conv_id long, x string"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in Q.late_data_profile(ev, key_col="conv_id").collect()
+    }
+    assert out[7]["n_events"] == 4
+    assert out[7]["n_late"] == 1
+    assert out[7]["max_lateness_us"] == 5 * 60 * 1_000_000
+    assert out[7]["n_ts_dups"] == 1
+    assert out[8]["n_late"] == 0
+    assert out[8]["max_lateness_us"] == 0
+
+
+# -------------------------------------------------------------------- cusum
+
+
+def test_cusum_detects_level_shift(spark):
+    # 20 turns at 100 then 20 at 200: shift at turn 20
+    rows = [("c", i, i, 100 if i < 20 else 200) for i in range(40)]
+    df = _series(spark, rows)
+    out = Q.cusum_level_shift(df, "v").collect()[0]
+    assert out["n_turns"] == 40
+    assert out["up_score"] > 0
+    # drawup peaks exactly at the change point boundary
+    assert out["shift_turn_idx"] in (19, 20)
+    # constant series scores zero
+    flat = _series(spark, [("f", i, i, 150) for i in range(40)])
+    z = Q.cusum_level_shift(flat, "v").collect()[0]
+    assert z["up_score"] == 0 and z["down_score"] == 0
+
+
+def test_cusum_shift_invariance(spark):
+    # adding a constant to every value leaves S_i (and both scores) unchanged
+    base = [("c", i, i, (i * 37) % 113) for i in range(50)]
+    shifted = [(c, i, m, v + 1000) for c, i, m, v in base]
+    a = Q.cusum_level_shift(_series(spark, base), "v").collect()[0]
+    b = Q.cusum_level_shift(_series(spark, shifted), "v").collect()[0]
+    assert a["up_score"] == b["up_score"]
+    assert a["down_score"] == b["down_score"]
+    assert a["shift_turn_idx"] == b["shift_turn_idx"]
+
+
+# --------------------------------------------------------- counter increase
+
+
+def test_counter_increase_no_resets_is_exact(spark):
+    # strictly growing counter: increase per window == last - first + first
+    rows = [("c", i, i, 10 * (i + 1)) for i in range(6)]  # 10,20,...,60
+    df = _series(spark, rows).withColumn("cnt", F.col("v").cast("long"))
+    out = Q.counter_increase(df, "cnt", window_unit="hour").collect()[0]
+    assert out["increase"] == 60  # 10 (first) + 5 deltas of 10
+    assert out["n_resets"] == 0
+
+
+def test_counter_increase_reset_golden(spark):
+    # counter: 10, 30, 5 (reset), 25 -> increase = 10 + 20 + 5 + 20 = 55
+    vals = [10, 30, 5, 25]
+    rows = [("c", i, i, v) for i, v in enumerate(vals)]
+    df = _series(spark, rows).withColumn("cnt", F.col("v").cast("long"))
+    out = Q.counter_increase(df, "cnt", window_unit="hour").collect()[0]
+    assert out["increase"] == 55
+    assert out["n_resets"] == 1
+    assert out["n_scrapes"] == 4
+
+
+# --------------------------------------------------------------- hod flags
+
+
+def test_hod_anomaly_flags(spark):
+    # 10 days of 1h windows at hour 3: nine quiet (100±1), one spike (500)
+    rows = [
+        ("evt", datetime(2024, 1, d, 3, 0, 0), 100 + (d % 3)) for d in range(1, 10)
+    ] + [("evt", datetime(2024, 1, 10, 3, 0, 0), 500)]
+    tier = spark.createDataFrame(
+        rows, schema="event_type string, window_start timestamp, n long"
+    )
+    out = Q.hod_anomaly_flags(tier, "n", group_cols=("event_type",)).collect()
+    flags = {r["window_start"].day: r["is_anomaly"] for r in out}
+    assert flags[10] == 1
+    assert sum(flags.values()) == 1  # only the spike
+    assert all(r["cohort_n"] == 10 for r in out)
+
+
+# ------------------------------------------------------------------- corr
+
+
+def test_corr_components_exact_lines(spark):
+    data = [
+        ("p", x, 2 * x) for x in range(1, 6)  # y = 2x
+    ] + [("q", x, 100 - 3 * x) for x in range(1, 6)] + [  # y = -3x + 100
+        ("z", x, 7) for x in range(1, 6)  # zero variance in y
+    ]
+    tier = spark.createDataFrame(data, schema="conv_id string, x long, y long")
+    out = {r["conv_id"]: r for r in Q.corr_components(tier, "x", "y").collect()}
+    assert out["p"]["corr6"] == 1.0
+    assert out["q"]["corr6"] == -1.0
+    assert out["z"]["corr6"] is None
+    assert out["p"]["sum_x"] == 15 and out["p"]["sum_y"] == 30
