@@ -122,6 +122,11 @@ def headline_queries(spark):
             "lttb_downsample",
             # r5 addition: integer-exact EWMA (per-series JVM fold)
             "ewma_smooth",
+            # r5 additions: quality/monitoring telemetry — CUSUM is the
+            # heaviest window-stack shape (4 window fns on one exchange),
+            # the anomaly flag the tier-consuming integer-compare shape
+            "cusum_level_shift",
+            "anomaly_hod_1h",
         ]
     }
     qs["sbas_invert_adjacent"] = sbas

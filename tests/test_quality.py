@@ -141,3 +141,44 @@ def test_corr_components_exact_lines(spark):
     assert out["q"]["corr6"] == -1.0
     assert out["z"]["corr6"] is None
     assert out["p"]["sum_x"] == 15 and out["p"]["sum_y"] == 30
+
+
+# ------------------------------------------------- stored-tier serve path
+
+
+def test_anomaly_flags_from_stored_tier(spark, tmp_path):
+    """The anomaly flag is a SERVE-path query: running it over the
+    rollup_job-persisted 1h tier yields byte-identical decisions to
+    running it over a direct 1h rollup of raw turns — the tier store is
+    the query's real input at scale, never a raw re-scan."""
+    import pandas as pd
+
+    from insar_spark.operators.rollup import rollup_turns
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.synth import synth_transcripts
+    from jobs.rollup_job import main as job_main
+
+    store_path = str(tmp_path / "tiers_q")
+    job_main(["--input", "synth:60", "--store", store_path, "--master", "local[4]"])
+    stored = (
+        TierStore(store_path)
+        .read_tier(spark, "1h")
+        .select("conv_id", "window_start", "n_turns")
+    )
+    from_store = (
+        Q.hod_anomaly_flags(stored, "n_turns", group_cols=("conv_id",))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    direct_tier = rollup_turns(synth_transcripts(spark, n_convs=60), "1h").select(
+        "conv_id", "window_start", "n_turns"
+    )
+    direct = (
+        Q.hod_anomaly_flags(direct_tier, "n_turns", group_cols=("conv_id",))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(from_store, direct, check_exact=True)
+    assert set(from_store["is_anomaly"].unique()) <= {0, 1}
