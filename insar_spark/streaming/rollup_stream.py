@@ -578,6 +578,56 @@ def realtime_1h_view(
     return coarse.unionByName(live)
 
 
+def stats_realtime_1h_view(
+    spark: SparkSession,
+    store,
+    log_tier: str = "1m_log",
+    fine_tier: str = "1m",
+    coarse_tier: str = "1h",
+) -> DataFrame:
+    """Real-time PLAIN-STATS serve — the flagship tier family through the
+    same three-layer stitch the sketch families use: every stat in the
+    stats tier is decomposable (sums/counts/min/max/ord-keyed first+last),
+    so ``operators.rollup.cascade`` merges sealed 1h days, sealed 1m days
+    the 1h cascade hasn't covered, and the live epoch log into a view
+    bit-equal to a batch 1h rollup over everything that has arrived."""
+    from insar_spark.operators.rollup import cascade
+
+    return realtime_1h_view(
+        spark, store, lambda fine: cascade(fine, "1h"),
+        ("conv_id", "window_start"),
+        log_tier, fine_tier, coarse_tier,
+    )
+
+
+def anomaly_realtime_1h(
+    spark: SparkSession,
+    store,
+    log_tier: str = "1m_log",
+    fine_tier: str = "1m",
+    coarse_tier: str = "1h",
+    k_sigma: int = 2,
+) -> DataFrame:
+    """Hour-of-day anomaly flags over the REAL-TIME stats view — "is this
+    hour anomalous for this conversation, including turns that arrived
+    seconds ago". The flag math (operators.quality.hod_anomaly_flags) is
+    an integer cross-multiplied k-sigma compare over per-window counts,
+    and the counts come from the three-layer stitch, so streaming
+    ingestion and batch backfill produce identical alert decisions
+    (stream == batch tested). This is the alerting loop a monitoring
+    deployment actually runs: stored-tier-sized input, live edge bounded
+    by the watermark horizon."""
+    from insar_spark.operators.quality import hod_anomaly_flags
+
+    view = stats_realtime_1h_view(
+        spark, store, log_tier=log_tier, fine_tier=fine_tier,
+        coarse_tier=coarse_tier,
+    ).select("conv_id", "window_start", "n_turns")
+    return hod_anomaly_flags(
+        view, "n_turns", group_cols=("conv_id",), k_sigma=k_sigma
+    )
+
+
 def lb_realtime_1h_view(
     spark: SparkSession,
     store,

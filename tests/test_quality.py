@@ -182,3 +182,70 @@ def test_anomaly_flags_from_stored_tier(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(from_store, direct, check_exact=True)
     assert set(from_store["is_anomaly"].unique()) <= {0, 1}
+
+
+def test_anomaly_realtime_equals_batch(spark, tmp_path, transcripts):
+    """Alerting loop, stream == batch: anomaly flags over the three-layer
+    real-time stats view (committed 1h days + sealed 1m days + live epoch
+    log) are byte-identical to flags over a batch 1h rollup of every turn
+    that has arrived — streaming ingestion and batch backfill reach the
+    same alert decisions."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from insar_spark.operators.rollup import cascade, rollup_turns
+    from insar_spark.sources.catalog import TierStore
+    from insar_spark.streaming.rollup_stream import (
+        anomaly_realtime_1h,
+        seal_and_compact,
+        stream_to_tierstore,
+    )
+
+    src = str(tmp_path / "drop_an")
+    transcripts.write.mode("overwrite").parquet(src)
+    store = TierStore(str(tmp_path / "tiers_an"))
+    q = stream_to_tierstore(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_an"),
+        watermark="60 minutes", tier="1m_log",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal = seal_and_compact(
+        spark, store, log_tier="1m_log", sealed_tier="1m",
+        watermark="60 minutes",
+    )
+    assert len(seal["written_days"]) > 1
+    # stricter 1h horizon: leave >=1 sealed day only in 1m, so the view
+    # must stitch all three layers
+    sb_1h = (
+        dt.date.fromisoformat(seal["seal_before"]) - dt.timedelta(days=1)
+    ).isoformat()
+    store.write_tier(
+        cascade(store.read_tier(spark, "1m").drop("day"), "1h"), "1h",
+        run_params={"source": "test_cascade"}, seal_before=sb_1h,
+    )
+    assert store.committed_days("1h")
+    assert set(store.committed_days("1m")) - store.committed_days("1h")
+
+    got = (
+        anomaly_realtime_1h(spark, store)
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    batch_tier = rollup_turns(transcripts, "1h").select(
+        "conv_id", "window_start", "n_turns"
+    )
+    from insar_spark.operators.quality import hod_anomaly_flags
+
+    expected = (
+        hod_anomaly_flags(batch_tier, "n_turns", group_cols=("conv_id",))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected) > 0
+    pd.testing.assert_frame_equal(got, expected, check_exact=True)
