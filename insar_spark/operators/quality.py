@@ -83,6 +83,64 @@ def late_data_profile(
     )
 
 
+def watermark_recommendation(
+    events: DataFrame,
+    key_col: str = "conv_id",
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    q: float = 0.999,
+    sub_bits: int | None = None,
+) -> DataFrame:
+    """Data-driven watermark sizing: the q-quantile of per-event lateness.
+
+    The watermark question is "what delay d covers a fraction q of all
+    events?" — exactly the q-quantile of the lateness distribution where
+    an in-order event has lateness 0. Lateness per event is the same
+    one-window-exchange computation as :func:`late_data_profile`; the
+    distribution is then summarized by the range-free log-bucket rank
+    sketch (operators.sketch.lb_*) because lateness in microseconds spans
+    many orders of magnitude with no sane fixed range — the same reason
+    the inter-event gap percentiles use it. ``wm_us`` is the lb UPPER
+    edge at rank q, so it always covers at least the true q-quantile and
+    overshoots by <= 2^-sub_bits relative (3.125 % at the default
+    resolution) — the safe direction for a watermark.
+
+    Output is ONE row (n_events, n_late, wm_us) — the raw-size work is
+    the lateness window; everything after is bucket-count-sized, so the
+    single-partition rank scan at the end is over <= ~2k rows no matter
+    the input. All integer end to end.
+    """
+    from insar_spark.operators.sketch import LB_SUB_BITS, lb_bucket, lb_quantiles
+
+    k = LB_SUB_BITS if sub_bits is None else sub_bits
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_max = F.max(us).over(w_prev)
+    lateness = F.when(us < prev_max, prev_max - us).otherwise(F.lit(0))
+    base = events.select(lateness.alias("_late_us"))
+    rolled = (
+        base.withColumn("bucket", lb_bucket("_late_us", k))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.when(F.col("_late_us") > 0, 1)).alias("_n_late"),
+        )
+    )
+    qd = lb_quantiles(
+        rolled.select("bucket", "cnt"), {"wm_us": q}, group_cols=(), sub_bits=k
+    )
+    totals = rolled.groupBy().agg(
+        F.sum("cnt").alias("n_events"), F.sum("_n_late").alias("n_late")
+    )
+    return totals.crossJoin(
+        qd.select(F.col("wm_us"))
+    ).select("n_events", "n_late", "wm_us")
+
+
 def cusum_level_shift(
     df: DataFrame,
     value_col: str,

@@ -51,6 +51,8 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("counter_increase_1h", 1, 0),  # (conv,seg) windows ride conv_id hash
         ("anomaly_hod_1h", 2, 0),  # 1h tier build + cohort window on tiny tier
         ("metric_corr_1h", 2, 0),  # 1h tier build + per-conv component agg
+        ("watermark_sizing", 3, 0),  # lateness window (reused) + bucket agg
+        #   + single-partition rank scan over <= ~2k bucket rows
     ],
 )
 def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):

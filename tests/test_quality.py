@@ -249,3 +249,40 @@ def test_anomaly_realtime_equals_batch(spark, tmp_path, transcripts):
     )
     assert len(got) == len(expected) > 0
     pd.testing.assert_frame_equal(got, expected, check_exact=True)
+
+
+# ------------------------------------------------- watermark recommendation
+
+
+def test_watermark_recommendation_bounds(spark):
+    """wm_us covers the true lateness quantile from above and overshoots
+    by at most the lb sketch's relative error; a fully in-order stream
+    recommends 0."""
+    # 990 in-order events + 10 late by exactly 300s (3e8 us)
+    rows = []
+    for i in range(990):
+        rows.append((i, _ts(i), "a"))
+    # late events: arrival AFTER a much newer frontier
+    for j in range(10):
+        rows.append((1000 + j, _ts(989 - 5), "a"))  # 5 min behind max
+    ev = spark.createDataFrame(
+        rows, schema="arrival long, ts timestamp, conv_id string"
+    )
+    out = Q.watermark_recommendation(
+        ev, key_col="conv_id", arrival_col="arrival", q=0.999
+    ).collect()[0]
+    true_late_us = 5 * 60 * 1_000_000
+    assert out["n_events"] == 1000
+    assert out["n_late"] == 10
+    # p99.9 rank (ceil(1000*0.999)=999) lands inside the late mass
+    assert out["wm_us"] >= true_late_us
+    assert out["wm_us"] <= true_late_us * 1.04  # 2^-5 relative bound
+
+    inorder = spark.createDataFrame(
+        [(i, _ts(i), "c") for i in range(50)],
+        schema="arrival long, ts timestamp, conv_id string",
+    )
+    z = Q.watermark_recommendation(
+        inorder, key_col="conv_id", arrival_col="arrival", q=0.999
+    ).collect()[0]
+    assert z["wm_us"] == 0 and z["n_late"] == 0
