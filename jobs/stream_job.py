@@ -296,6 +296,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--sketch", action="store_true",
                    help="also stream-maintain the histogram-sketch tiers "
                    "(hist_1m_log -> seal -> hist_1m -> cascade hist_1h)")
+    p.add_argument("--size-watermark", metavar="ARRIVAL_COL", default=None,
+                   help="before streaming, profile the drop's lateness "
+                   "distribution ordered by ARRIVAL_COL (the ingest "
+                   "offset/sequence column) and report the recommended "
+                   "watermark (p99.9 lateness via the lb sketch) in the "
+                   "metrics line — data-driven sizing for --watermark")
     args = p.parse_args(argv)
 
     spark = get_spark("stream_job", master=args.master)
@@ -309,6 +315,24 @@ def main(argv: list[str] | None = None) -> dict:
             synth_transcripts(
                 spark, n_convs=int(args.input.split(":")[1])
             ).write.mode("overwrite").parquet(src)
+
+    wm_metrics: dict = {}
+    if args.size_watermark:
+        # batch-side ingest QC over the drop: what watermark would cover
+        # p99.9 of this feed's lateness? (operators/quality.py — one
+        # window exchange + a bucket-sized rank scan; single row back)
+        from insar_spark.operators.quality import watermark_recommendation
+
+        drop = spark.read.parquet(src)
+        row = watermark_recommendation(
+            drop, key_col="conv_id", arrival_col=args.size_watermark,
+            ts_col="ts", q=0.999,
+        ).collect()[0]
+        wm_metrics = {
+            "lateness_n_events": row["n_events"],
+            "lateness_n_late": row["n_late"],
+            "recommended_watermark_us": row["wm_us"],
+        }
 
     cycle = 0
     metrics: dict = {}
@@ -352,6 +376,7 @@ def main(argv: list[str] | None = None) -> dict:
             metrics["cascaded_m4_1d_days"] = len(
                 seal["sketch_m4"]["cascaded"].get("m4_1d", [])
             )
+        metrics.update(wm_metrics)
         print(json.dumps(metrics), flush=True)
         if args.drain or (args.max_cycles and cycle >= args.max_cycles):
             return metrics

@@ -286,3 +286,37 @@ def test_watermark_recommendation_bounds(spark):
         inorder, key_col="conv_id", arrival_col="arrival", q=0.999
     ).collect()[0]
     assert z["wm_us"] == 0 and z["n_late"] == 0
+
+
+def test_stream_job_size_watermark_reports_recommendation(spark, tmp_path, transcripts):
+    """--size-watermark ARRIVAL_COL: the stream job profiles the drop's
+    lateness distribution before streaming and reports the recommended
+    watermark in its metrics line, equal to the operator run directly."""
+    from jobs.stream_job import main as stream_main
+
+    # doctored ingest order: every 10th turn is delivered ~17 min late
+    doctored = transcripts.withColumn(
+        "ingest_seq",
+        F.unix_micros("ts")
+        + F.when(F.col("turn_idx") % 10 == 0, F.lit(1_000_000_000)).otherwise(
+            F.lit(0)
+        ),
+    )
+    src = str(tmp_path / "drop_wm")
+    doctored.write.mode("overwrite").parquet(src)
+
+    expected = Q.watermark_recommendation(
+        spark.read.parquet(src), key_col="conv_id",
+        arrival_col="ingest_seq", q=0.999,
+    ).collect()[0]
+    assert expected["n_late"] > 0  # the doctoring really creates lateness
+
+    m = stream_main([
+        "--input", src, "--store", str(tmp_path / "tiers_wm"),
+        "--checkpoint", str(tmp_path / "ckpt_wm"), "--drain",
+        "--size-watermark", "ingest_seq", "--master", "local[4]",
+    ])
+    assert m["lateness_n_events"] == expected["n_events"]
+    assert m["lateness_n_late"] == expected["n_late"]
+    assert m["recommended_watermark_us"] == expected["wm_us"]
+    assert m["recommended_watermark_us"] > 0
