@@ -2653,7 +2653,7 @@ _SQL_LATE_DATA = (
          max(epoch_us(ts)) OVER (
            PARTITION BY conv_id
            ORDER BY ord + length(event_type) * {_SHARD_DELAY_ORD}
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
   FROM t
 )
 SELECT conv_id,
@@ -2898,7 +2898,7 @@ _SQL_WATERMARK = (
          max(epoch_us(ts)) OVER (
            PARTITION BY conv_id
            ORDER BY ord + length(event_type) * {_SHARD_DELAY_ORD}
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
   FROM t
 ), l AS (
   SELECT CASE WHEN us < prev_max THEN prev_max - us ELSE 0 END AS late_us

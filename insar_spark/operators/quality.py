@@ -38,6 +38,29 @@ from insar_spark.operators.series import KEY
 K_SIGMA = 2
 
 
+def _lateness_us(
+    key_col: str, arrival_col: str, ts_col: str
+) -> tuple["Column", "Column"]:
+    """The ONE lateness definition both profile and watermark sizing use:
+    per-event lateness vs the max event time among STRICTLY EARLIER
+    arrivals (RANGE frame over the numeric arrival value, not ROWS — rows
+    sharing an arrival value are concurrent deliveries, so neither sees
+    the other's timestamp and the result is deterministic under ties;
+    a ROWS frame would make tied rows' prev_max depend on arbitrary
+    intra-tie order). Returns (lateness_us, prev_max_us); lateness is 0
+    for an in-order or first event. Mirrored by the ``e`` CTE in the
+    __spark_entry__ oracles — keep in sync."""
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(arrival_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_max = F.max(us).over(w_prev)
+    lateness = F.when(us < prev_max, prev_max - us).otherwise(F.lit(0))
+    return lateness, prev_max
+
+
 def late_data_profile(
     events: DataFrame,
     key_col: str = "conv_id",
@@ -46,7 +69,8 @@ def late_data_profile(
 ) -> DataFrame:
     """Per-key late-arrival telemetry: how disordered is the ingest?
 
-    ``arrival_col`` is the ingest order (a monotone ingest id / offset);
+    ``arrival_col`` is the ingest order (a monotone ingest id / offset;
+    numeric — ties are treated as concurrent, see :func:`_lateness_us`);
     an event is LATE when its event time is older than the max event time
     already ingested for the key — exactly the rows a streaming watermark
     would drop or a sealed tier would need restated (jobs/stream_job.py's
@@ -56,20 +80,14 @@ def late_data_profile(
     guesses.
 
     Output per key: ``n_events``, ``n_late``, ``max_lateness_us`` (0 when
-    nothing is late), ``n_ts_dups`` (events sharing an already-seen max
+    nothing is late), ``n_ts_dups`` (events tying an already-seen max
     timestamp — ties need the stable turn_idx tiebreak, FIXTURES.md §1).
     All int64, no floats anywhere. One window exchange on the key; the
-    running max is a rows-unbounded-preceding fold, and the final groupBy
+    running max is a range-unbounded-preceding fold, and the final groupBy
     reuses the window's partitioning (no second raw-size shuffle).
     """
-    w_prev = (
-        Window.partitionBy(key_col)
-        .orderBy(arrival_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    lateness, prev_max = _lateness_us(key_col, arrival_col, ts_col)
     us = F.unix_micros(F.col(ts_col))
-    prev_max = F.max(us).over(w_prev)
-    lateness = F.when(us < prev_max, prev_max - us).otherwise(F.lit(0))
     base = events.select(
         F.col(key_col),
         lateness.alias("_late_us"),
@@ -105,40 +123,34 @@ def watermark_recommendation(
     overshoots by <= 2^-sub_bits relative (3.125 % at the default
     resolution) — the safe direction for a watermark.
 
-    Output is ONE row (n_events, n_late, wm_us) — the raw-size work is
-    the lateness window; everything after is bucket-count-sized, so the
+    Output is ONE row (n_events, n_late, wm_us) — zeros, not NULLs, on an
+    empty input. The raw-size work is the lateness window; everything
+    after is bucket-count-sized (n_events rides lb_quantiles' n_points
+    and n_late is the mass outside bucket 0 — bucket 0 is exactly
+    late_us == 0 — so no second raw-size branch), and the
     single-partition rank scan at the end is over <= ~2k rows no matter
     the input. All integer end to end.
     """
     from insar_spark.operators.sketch import LB_SUB_BITS, lb_bucket, lb_quantiles
 
     k = LB_SUB_BITS if sub_bits is None else sub_bits
-    w_prev = (
-        Window.partitionBy(key_col)
-        .orderBy(arrival_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    us = F.unix_micros(F.col(ts_col))
-    prev_max = F.max(us).over(w_prev)
-    lateness = F.when(us < prev_max, prev_max - us).otherwise(F.lit(0))
+    lateness, _ = _lateness_us(key_col, arrival_col, ts_col)
     base = events.select(lateness.alias("_late_us"))
     rolled = (
         base.withColumn("bucket", lb_bucket("_late_us", k))
         .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count(F.when(F.col("_late_us") > 0, 1)).alias("_n_late"),
-        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    qd = lb_quantiles(
-        rolled.select("bucket", "cnt"), {"wm_us": q}, group_cols=(), sub_bits=k
+    qd = lb_quantiles(rolled, {"wm_us": q}, group_cols=(), sub_bits=k)
+    late = rolled.groupBy().agg(
+        F.sum(F.when(F.col("bucket") != 0, F.col("cnt"))).alias("_nl")
     )
-    totals = rolled.groupBy().agg(
-        F.sum("cnt").alias("n_events"), F.sum("_n_late").alias("n_late")
+    zero = F.lit(0).cast("long")
+    return qd.crossJoin(late).select(
+        F.coalesce(F.col("n_points"), zero).alias("n_events"),
+        F.coalesce(F.col("_nl"), zero).alias("n_late"),
+        F.coalesce(F.col("wm_us"), zero).alias("wm_us"),
     )
-    return totals.crossJoin(
-        qd.select(F.col("wm_us"))
-    ).select("n_events", "n_late", "wm_us")
 
 
 def cusum_level_shift(
@@ -150,7 +162,10 @@ def cusum_level_shift(
     """Per-series CUSUM level-shift score (Page 1954), integer-exact.
 
     ``value_col`` must be int64 (scale fractional metrics first — e.g.
-    centi-values via round(v*100)). With C_i the value cumsum, i the row
+    centi-values via round(v*100)); NULL values are dropped up front (a
+    null would be skipped by the sum but counted by row_number/count,
+    silently breaking the S_i identity — the series is the NON-NULL
+    observations). With C_i the value cumsum, i the row
     number, n the series length and T the series total, the SCALED
     deviation cumsum
 
@@ -184,7 +199,7 @@ def cusum_level_shift(
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy(KEY)
     x = F.col(value_col).cast("long")
-    staged = df.select(
+    staged = df.filter(F.col(value_col).isNotNull()).select(
         KEY,
         F.col(turn_col).alias("_turn"),
         F.col(order_col).alias("_ord"),

@@ -606,7 +606,7 @@ def anomaly_realtime_1h(
     log_tier: str = "1m_log",
     fine_tier: str = "1m",
     coarse_tier: str = "1h",
-    k_sigma: int = 2,
+    k_sigma: int | None = None,
 ) -> DataFrame:
     """Hour-of-day anomaly flags over the REAL-TIME stats view — "is this
     hour anomalous for this conversation, including turns that arrived
@@ -617,8 +617,13 @@ def anomaly_realtime_1h(
     (stream == batch tested). This is the alerting loop a monitoring
     deployment actually runs: stored-tier-sized input, live edge bounded
     by the watermark horizon."""
-    from insar_spark.operators.quality import hod_anomaly_flags
+    from insar_spark.operators.quality import K_SIGMA, hod_anomaly_flags
 
+    if k_sigma is None:
+        # reuse quality.K_SIGMA so a retuned default cannot silently split
+        # the real-time and batch alert thresholds (stream == batch holds
+        # for default-argument callers by construction)
+        k_sigma = K_SIGMA
     view = stats_realtime_1h_view(
         spark, store, log_tier=log_tier, fine_tier=fine_tier,
         coarse_tier=coarse_tier,

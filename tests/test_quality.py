@@ -320,3 +320,47 @@ def test_stream_job_size_watermark_reports_recommendation(spark, tmp_path, trans
     assert m["lateness_n_late"] == expected["n_late"]
     assert m["recommended_watermark_us"] == expected["wm_us"]
     assert m["recommended_watermark_us"] > 0
+
+
+def test_late_data_ties_are_deterministic(spark):
+    """Rows sharing an arrival value are concurrent deliveries: the RANGE
+    frame means neither sees the other's timestamp, so the profile is
+    deterministic under ties (a ROWS frame would depend on arbitrary
+    intra-tie order)."""
+    rows = [
+        (1, _ts(10), "t"),
+        (2, _ts(0), "t"),   # tied arrival, 10 min behind the frontier
+        (2, _ts(20), "t"),  # tied arrival, ahead of the frontier
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="arrival long, ts timestamp, conv_id string"
+    )
+    out = Q.late_data_profile(
+        ev, key_col="conv_id", arrival_col="arrival"
+    ).collect()[0]
+    assert out["n_late"] == 1
+    assert out["max_lateness_us"] == 10 * 60 * 1_000_000
+
+
+def test_watermark_recommendation_empty_input_is_zeros(spark):
+    ev = spark.createDataFrame(
+        [], schema="arrival long, ts timestamp, conv_id string"
+    )
+    out = Q.watermark_recommendation(
+        ev, key_col="conv_id", arrival_col="arrival"
+    ).collect()[0]
+    assert (out["n_events"], out["n_late"], out["wm_us"]) == (0, 0, 0)
+
+
+def test_cusum_ignores_null_values(spark):
+    rows = [("c", i, i, 100 if i < 20 else 200) for i in range(40)]
+    df = _series(spark, rows)
+    with_null = df.withColumn(
+        "v", F.when(F.col("turn_idx") == 5, None).otherwise(F.col("v"))
+    )
+    dropped = df.filter(F.col("turn_idx") != 5)
+    a = Q.cusum_level_shift(with_null, "v").collect()[0]
+    b = Q.cusum_level_shift(dropped, "v").collect()[0]
+    assert (a["up_score"], a["down_score"], a["shift_turn_idx"]) == (
+        b["up_score"], b["down_score"], b["shift_turn_idx"]
+    )
