@@ -350,6 +350,59 @@ def hod_anomaly_flags(
     )
 
 
+def tier_reconcile(
+    a: DataFrame,
+    b: DataFrame,
+    keys: tuple[str, ...] = (KEY, "window_start"),
+    value_cols: tuple[str, ...] | None = None,
+    day_col: str = "window_start",
+) -> DataFrame:
+    """Per-day reconciliation of two builds of the same tier — the ops
+    check behind every bit-for-bit claim in this engine: "is the
+    stream-built tier REALLY equal to the batch backfill?", "did the
+    restatement change anything outside the restated day?", "does
+    today's tier match snapshot N?" (pair with
+    ``TierStore.read_tier(as_of=)``).
+
+    Full-outer join on the tier keys (tier-sized, never raw), null-safe
+    equality on every value column (works for the sketch tiers' array
+    columns too — eqNullSafe compares arrays element-wise), then one
+    groupBy localizing discrepancies to days: ``n_match``,
+    ``n_mismatch`` (both sides present, values differ), ``n_only_a``,
+    ``n_only_b``. A clean reconcile is all-match rows; anything else
+    names the day to restate. Output is days-sized — the whole check is
+    two tier scans and one tier-keyed shuffle.
+    """
+    if value_cols is None:
+        value_cols = tuple(
+            c for c in a.columns if c not in keys and c != "day"
+        )
+    aa = a.alias("a").withColumn("_in_a", F.lit(1))
+    bb = b.alias("b").withColumn("_in_b", F.lit(1))
+    joined = aa.join(bb, on=list(keys), how="full_outer")
+    same = None
+    for c in value_cols:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("only_b"))
+        .when(F.col("_in_b").isNull(), F.lit("only_a"))
+        .when(same, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    day = F.date_trunc("day", F.col(day_col)).alias("day")
+    return (
+        joined.select(day, status.alias("_st"))
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("_st") == "match", 1)).alias("n_match"),
+            F.count(F.when(F.col("_st") == "mismatch", 1)).alias("n_mismatch"),
+            F.count(F.when(F.col("_st") == "only_a", 1)).alias("n_only_a"),
+            F.count(F.when(F.col("_st") == "only_b", 1)).alias("n_only_b"),
+        )
+    )
+
+
 def corr_components(
     tier: DataFrame,
     x_col: str,

@@ -364,3 +364,71 @@ def test_cusum_ignores_null_values(spark):
     assert (a["up_score"], a["down_score"], a["shift_turn_idx"]) == (
         b["up_score"], b["down_score"], b["shift_turn_idx"]
     )
+
+
+# --------------------------------------------------------- reconciliation
+
+
+def test_tier_reconcile_localizes_discrepancies(spark, tmp_path, transcripts):
+    """tier_reconcile against a doctored copy: a clean reconcile is
+    all-match; a value corruption, a dropped row, and an extra row each
+    land in the right counter on the right day."""
+    from insar_spark.operators.rollup import rollup_turns
+
+    tier = rollup_turns(transcripts, "1h").cache()
+    clean = Q.tier_reconcile(tier, tier).toPandas()
+    assert (clean["n_mismatch"] == 0).all()
+    assert (clean["n_only_a"] == 0).all() and (clean["n_only_b"] == 0).all()
+    assert clean["n_match"].sum() == tier.count()
+
+    # pick one row to corrupt, one to drop, relative to a fixed day
+    target = tier.orderBy("conv_id", "window_start").limit(1).collect()[0]
+    t_conv, t_win = target["conv_id"], target["window_start"]
+    doctored = tier.withColumn(
+        "n_turns",
+        F.when(
+            (F.col("conv_id") == t_conv) & (F.col("window_start") == t_win),
+            F.col("n_turns") + 1,
+        ).otherwise(F.col("n_turns")),
+    )
+    rec = Q.tier_reconcile(tier, doctored).toPandas()
+    assert rec["n_mismatch"].sum() == 1
+    bad_day = rec[rec["n_mismatch"] == 1]["day"].iloc[0]
+    assert bad_day.date() == t_win.date()
+
+    # dropped row -> only_a on that day
+    dropped = tier.filter(
+        ~((F.col("conv_id") == t_conv) & (F.col("window_start") == t_win))
+    )
+    rec2 = Q.tier_reconcile(tier, dropped).toPandas()
+    assert rec2["n_only_a"].sum() == 1 and rec2["n_only_b"].sum() == 0
+
+
+def test_tier_reconcile_array_tier(spark, transcripts):
+    """Reconciliation works on sketch tiers too: eqNullSafe compares the
+    histogram array column element-wise, so a single-bin corruption is a
+    mismatch."""
+    from insar_spark.operators.sketch import hist_rollup
+
+    tier = hist_rollup(
+        transcripts.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("v")
+        ),
+        "1h",
+    ).cache()
+    clean = Q.tier_reconcile(tier, tier).toPandas()
+    assert (clean["n_mismatch"] == 0).all()
+
+    target = tier.orderBy("conv_id", "window_start").limit(1).collect()[0]
+    doctored = tier.withColumn(
+        "hist",
+        F.when(
+            (F.col("conv_id") == target["conv_id"])
+            & (F.col("window_start") == target["window_start"]),
+            F.transform(
+                "hist", lambda x, i: x + F.when(i == 0, 1).otherwise(0)
+            ),
+        ).otherwise(F.col("hist")),
+    )
+    rec = Q.tier_reconcile(tier, doctored).toPandas()
+    assert rec["n_mismatch"].sum() == 1
