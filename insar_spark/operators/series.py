@@ -249,6 +249,81 @@ def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
     )
 
 
+def holt_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
+    """Holt double-exponential smoother (level + trend) with
+    alpha = gamma = 1/2**shift, in the same integer-exact discipline as
+    :func:`ewma_int` — EWMA tracks a level but lags any sustained drift;
+    Holt's second recursion estimates the drift and folds it back in,
+    and ``level + trend`` is the classic one-step-ahead FORECAST:
+
+        l_0 = v100_0 ;  b_0 = 0
+        l_i = (v100_i + (2**s - 1)*(l_{i-1} + b_{i-1})) >> s
+        b_i = ((l_i - l_{i-1}) + (2**s - 1)*b_{i-1})    >> s
+
+    with v100 = round(v*100) as BIGINT. The trend b is genuinely SIGNED,
+    so the recursion leans on arithmetic shiftright being floor division
+    for negatives in BOTH engines (verified: Spark shiftright and DuckDB
+    ``>>`` agree on negative BIGINTs), and the oracle replays the exact
+    recursion as a thin recursive CTE (one join per step, no prefix
+    slices). Same plan and memory envelope as ewma_int: one shuffle
+    collecting each series, an O(n) JVM fold, posexplode back — and the
+    same caveat: the floor shift is not associative, so a chunked
+    variant must carry (l, b) sequentially across chunks.
+    """
+    mul = F.lit((1 << shift) - 1)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ord_key().alias("o"),
+                F.col("turn_idx").alias("turn_idx"),
+                F.round(F.col(value_col) * 100).cast("long").alias("v100"),
+            )
+        )
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        first = F.size(acc["ls"]) == 0
+        l_new = F.when(first, x["v100"]).otherwise(
+            F.shiftright(x["v100"] + mul * (acc["l"] + acc["b"]), shift)
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            F.shiftright((l_new - acc["l"]) + mul * acc["b"], shift)
+        )
+        return F.struct(
+            F.concat(acc["ls"], F.array(l_new)).alias("ls"),
+            F.concat(acc["bs"], F.array(b_new)).alias("bs"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+
+    fold = F.aggregate(
+        F.col("pts"),
+        F.struct(
+            F.expr("cast(array() as array<bigint>)").alias("ls"),
+            F.expr("cast(array() as array<bigint>)").alias("bs"),
+            F.lit(0).cast("long").alias("l"),
+            F.lit(0).cast("long").alias("b"),
+        ),
+        step,
+        lambda acc: F.arrays_zip(acc["ls"], acc["bs"]),
+    )
+    return (
+        df.groupBy(KEY)
+        .agg(pts.alias("pts"))
+        .withColumn("lb", fold)
+        .select(KEY, F.explode(F.arrays_zip("pts", "lb")).alias("z"))
+        .select(
+            KEY,
+            F.col("z.pts.turn_idx").alias("turn_idx"),
+            (F.col("z.lb.ls") / F.lit(100.0)).alias("v_level"),
+            (F.col("z.lb.bs") / F.lit(100.0)).alias("v_trend"),
+            ((F.col("z.lb.ls") + F.col("z.lb.bs")) / F.lit(100.0)).alias(
+                "v_forecast"
+            ),
+        )
+    )
+
+
 def sessionize(df: DataFrame, value_col: str = "text_len", gap_sec: int = 1800) -> DataFrame:
     """Batch sessionization: a new session starts when the inter-turn gap
     exceeds ``gap_sec`` (the batch analog of session_window; lag + running

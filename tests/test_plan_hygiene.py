@@ -53,6 +53,7 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("metric_corr_1h", 2, 0),  # 1h tier build + per-conv component agg
         ("watermark_sizing", 3, 0),  # lateness window (reused) + bucket agg
         #   + single-partition rank scan over <= ~2k bucket rows
+        ("holt_smooth", 1, 0),  # one collect-fold shuffle, JVM aggregate
     ],
 )
 def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):

@@ -154,3 +154,81 @@ def test_ewma_int_matches_python_recursion(spark, transcripts, transcripts_pdf):
     assert (got["v_ewma"].to_numpy() == exp["v_ewma"].to_numpy()).all()
     # sanity: smoother tracks the signal (close to a float EWMA)
     assert np.isfinite(got["v_ewma"]).all()
+
+
+def test_holt_int_matches_python_recursion(spark, transcripts, transcripts_pdf):
+    """holt_int == the double-exponential integer recursion run in plain
+    Python per series — signed values exercise the negative-operand
+    arithmetic shift in both the level and (especially) the trend step."""
+    from pyspark.sql import functions as F
+
+    src = S.reference_align(S.with_text_len(transcripts)).select(
+        "conv_id", "turn_idx", "ts", F.col("text_len_aligned").alias("v")
+    )
+    got = (
+        S.holt_int(src, "v")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    pdf = _pdf_sorted(transcripts_pdf)
+    pdf["v"] = pdf["text_len"] - pdf.groupby("conv_id", sort=False)[
+        "text_len"
+    ].transform("first")
+    rows = []
+    for conv, grp in pdf.groupby("conv_id", sort=False):
+        state = None
+        for _, r in grp.iterrows():
+            x = int(round(r["v"] * 100))
+            if state is None:
+                state = (x, 0)
+            else:
+                pl, pb = state
+                nl = (x + 3 * (pl + pb)) >> 2
+                nb = ((nl - pl) + 3 * pb) >> 2
+                state = (nl, nb)
+            rows.append(
+                (conv, int(r["turn_idx"]), state[0] / 100.0,
+                 state[1] / 100.0, (state[0] + state[1]) / 100.0)
+            )
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "v_level", "v_trend", "v_forecast"],
+        )
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in ("v_level", "v_trend", "v_forecast"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+
+def test_holt_int_tracks_linear_trend(spark):
+    """On a pure linear ramp the trend estimate converges to the true
+    slope and the one-step forecast beats the level-only EWMA."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("c", i, datetime(2024, 1, 1) + timedelta(minutes=i), 10.0 * i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, v double"
+    )
+    out = (
+        S.holt_int(df, "v")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    tail = out.tail(50)
+    # true slope is 10/turn; integer floor keeps the estimate just below
+    assert (tail["v_trend"] > 9.0).all() and (tail["v_trend"] <= 10.0).all()
+    # forecast for turn i predicts ~value at i+1
+    actual_next = 10.0 * (tail["turn_idx"].to_numpy() + 1)
+    err = abs(tail["v_forecast"].to_numpy() - actual_next)
+    assert err.max() < 10.0  # within one step of the ramp
