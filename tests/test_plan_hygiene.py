@@ -54,6 +54,7 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("watermark_sizing", 3, 0),  # lateness window (reused) + bucket agg
         #   + single-partition rank scan over <= ~2k bucket rows
         ("holt_smooth", 1, 0),  # one collect-fold shuffle, JVM aggregate
+        ("tier_reconcile_1h", 3, 0),  # tier build (reused) + join sides
     ],
 )
 def test_exchange_and_python_budgets(spark, name, max_unique_exchanges, max_python_stages):
