@@ -1200,29 +1200,24 @@ _SQL_W7_SPLINE_N2 = _SERIES_CTE_2DAY + _SQL_W7_SPLINE_BODY
 
 
 def q_hist_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch percentile tier: 1m histogram rollup CASCADED to
-    1h (element-wise bin merge — the decomposable-summary property exact
-    percentiles lack), then a p95 estimate from the merged sketch via a
-    JVM aggregate fold. The oracle rebuilds the 1h histogram directly in
-    SQL (the cascade is exact, so direct == cascaded) and replays the
-    same rank/upper-edge convention with a window cumsum."""
-    from insar_spark.operators.sketch import (
-        hist_cascade,
-        hist_quantile,
-        hist_rollup,
-    )
+    """Mergeable-sketch percentile tier: per-(conv, hour) p95/p50 with
+    the fixed-edge histogram's bin convention (error <= one bin width).
+    Since r6 the serve plan computes the quantiles directly at 1h (the
+    1m -> 1h cascade is exact — a pytest invariant — so the intermediate
+    wide tier added only shuffle bytes); the STORED tier keeps the
+    array form and its cascade in rollup_job. The oracle builds the 1h
+    histogram in SQL and replays the same rank/upper-edge convention."""
+    from insar_spark.operators.sketch import hist_rank_quantiles
 
-    t = events_series(spark, sf_dir)
-    h1m = hist_rollup(t, "1m", value_col="v")
-    h1h = hist_cascade(h1m, "1h")
-    return h1h.select(
-        "conv_id",
-        "window_start",
-        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "n_points"
-        ),
-        hist_quantile("hist", 0.95).alias("p95_est"),
-        hist_quantile("hist", 0.50).alias("p50_est"),
+    # r6 OPT: the 1m -> 1h cascade is EXACT (pytest-proven identity), so
+    # the serve query computes the identical result directly at 1h via
+    # the single-exchange rank read — the wide 64-conditional-agg tier
+    # shuffled ~66 longs per raw row at 1-minute sparsity (3.8 s -> 2.0 s
+    # at sf1.0, plan: 2 Exchange -> 1; guide §2.3). The stored-tier path
+    # (rollup_job --sketch) still builds and cascades the array tier.
+    t = events_series(spark, sf_dir).select("conv_id", "ts", "v")
+    return hist_rank_quantiles(
+        t, "1h", {"p95_est": 0.95, "p50_est": 0.50}, value_col="v"
     )
 
 
@@ -1379,17 +1374,19 @@ def q_lb_rank_p99_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 2^-5 everywhere, EXACT below 2^5. Doubles enter via an exact
     power-of-two scale (×1024, floor). Tall (window, bucket, cnt) tier
     rows merge by plain groupBy-sum; p50/p99 read off one cumsum pass."""
-    from insar_spark.operators.sketch import (
-        lb_merge_global,
-        lb_quantiles,
-        lb_rollup,
-    )
+    from insar_spark.operators.sketch import lb_quantiles, lb_rollup_global
 
+    # r6 OPT: the read is global-per-hour, so the per-(conv, minute)
+    # keyed tier this query used to build and immediately merge away is
+    # pure shuffle overhead (sums are associative); grouping straight to
+    # (hour, bucket) is bit-identical and lets map-side partials reduce
+    # to <= windows x buckets rows (1.7 s -> 0.8 s at sf1.0, plan:
+    # 3 Exchange -> 2; guide §2.3/§2.4). The keyed stored tier still
+    # exists for per-series serves (lb_rank_series_1h, rollup_job).
     t = events_series(spark, sf_dir).withColumn(
         "v_scaled", F.expr("cast(floor(v * 1024.0d) as bigint)")
     )
-    s1m = lb_rollup(t, "1m", value_col="v_scaled")
-    g1h = lb_merge_global(s1m, "1h")
+    g1h = lb_rollup_global(t, "1h", value_col="v_scaled")
     est = lb_quantiles(
         g1h, {"p50_scaled": 0.50, "p99_scaled": 0.99}, ("window_start",)
     )
@@ -1518,19 +1515,29 @@ def q_delta_p05_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     underflow bucket). All-integer bucket math, exact for |delta| < 32,
     relative error <= 2^-5 on both tails; the oracle re-implements the
     signed buckets and mirrored edge decode independently in SQL."""
-    from insar_spark.operators.sketch import lb_merge_global, lb_quantiles, lb_rollup
+    from insar_spark.operators.sketch import lb_quantiles, lb_rollup_global
 
-    t = events_series(spark, sf_dir).withColumn(
-        "vi", F.floor("v").cast("long")
+    # r6 OPT (two changes, both result-identical): (a) the lag orders by
+    # (ts, event_id) directly — turn_idx is row_number() over exactly
+    # that order, so the ordering is the same and the row_number window
+    # (a second sort over the same exchange) disappears from the plan;
+    # (b) the global-per-hour read groups straight to (hour, bucket)
+    # instead of building the per-(conv, minute) keyed tier and merging
+    # it away (1.5 s -> 1.1 s at sf1.0, plan: 3 Exchange + 2 Window ->
+    # 2 Exchange + 1 Window; guide §2.3/§2.4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.floor("value").cast("long").alias("vi"),
     )
-    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    d = t.withColumn("delta", F.col("vi") - F.lag("vi").over(w)).filter(
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    d = ev.withColumn("delta", F.col("vi") - F.lag("vi").over(w)).filter(
         F.col("delta").isNotNull()
     )
-    s1m = lb_rollup(d, "1m", value_col="delta", signed=True)
-    g1h = lb_merge_global(s1m, "1h")
     return lb_quantiles(
-        g1h,
+        lb_rollup_global(d, "1h", value_col="delta", signed=True),
         {"p05_est": 0.05, "p50_est": 0.50, "p95_est": 0.95},
         ("window_start",),
         signed=True,
@@ -3458,25 +3465,31 @@ def q_distinct_hll_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-MAX per (window, register): associative, commutative AND
     idempotent, so replays are absorbed for free and the tier rides the
     seal cycle unchanged; error stays ~3% (p=10) at any cardinality.
-    Spark builds the 1m tall tier and CASCADES to 1h; the oracle computes
-    1h directly from the same md5-60 register/rho math, so equality
-    proves the max-merge exact. Contract surface is all-INTEGER
+    Since r6 Spark builds the tall tier directly at 1h (register-MAX is
+    associative, so direct == 1m-then-cascade bit-for-bit; the cascade
+    itself stays pytest-proven and runs in the store path); the oracle
+    computes 1h from the same md5-60 register/rho math independently.
+    Contract surface is all-INTEGER
     (present-register count, the 2^51-scaled harmonic-mean denominator,
     and the small-range-regime flag via one precomputed int64 cutoff);
     the transcendental estimate (hll_estimate) stays out of the hash
     gate and is tolerance-tested in pytest, mirroring distinct_estimate.
     Reference analog: prepare.py:258-348 keeps only decomposable running
     stats per layer — HLL is the decomposable form of count-distinct."""
-    from insar_spark.operators.sketch import hll_cascade, hll_read, hll_rollup
+    from insar_spark.operators.sketch import hll_read, hll_rollup
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    t1m = hll_rollup(ev, "1m")
-    t1h = hll_cascade(t1m, "1h")
-    return hll_read(t1h)
+    # r6 OPT: register-MAX is associative, so building the tier directly
+    # at 1h is bit-identical to 1m -> cascade while skipping one raw-sized
+    # (minute, reg) exchange (the sparse 1m tier had ~1 row per raw row;
+    # 2.3 s -> 1.6 s at sf1.0, plan: 3 Exchange -> 2; guide §2.4). The
+    # max-merge exactness itself stays pytest-proven (stream==batch and
+    # cascade tests), and the stored tier still cascades in rollup_job.
+    return hll_read(hll_rollup(ev, "1h"))
 
 
 def _sql_distinct_hll() -> str:
@@ -3517,24 +3530,37 @@ def q_hot_convs_cms_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (billions of rows/day at 10^12 turns). This is the monitoring
     signal that FINDS mega-conversations — the hot keys the engine's
     skew paths (salted_rollup_1m, w1_deltas_chunked) salt around.
-    Spark builds the 1m tier and CASCADES to 1h (groupBy-sum merge); the
-    probe filters the stored tier on DRIVER-precomputed constant cells
-    (shared md5 twin) and takes min-over-d-cells per (window, key) —
-    count-min never undercounts, and an absent cell short-circuits to 0.
+    Since r6 the inline build+probe pushes the watchlist filter below
+    the counting aggregation (cms_probe_inline: broadcast join on the
+    DRIVER-precomputed constant cells BEFORE the count — bit-identical,
+    since a cell's count is the number of raw rows hashing into it) and
+    takes min-over-d-cells per (window, key); count-min never
+    undercounts, and an absent cell short-circuits to 0. The store path
+    keeps the full d*w tier + sum-merge cascade.
     The oracle recomputes the register math AND the watchlist coordinates
     from the item strings in SQL (independent md5 path), builds 1h
     directly, and probes — equality proves both the sum-merge and the
     probe. All-integer contract surface."""
-    from insar_spark.operators.sketch import cms_cascade, cms_probe, cms_rollup
+    from insar_spark.operators.sketch import cms_probe_inline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    t1m = cms_rollup(ev, "1m", item_col="conv_id")
-    t1h = cms_cascade(t1m, "1h")
-    return cms_probe(spark, t1h, _CMS_WATCHLIST, item_alias="conv_id")
+    # r6 OPT: build + probe in one plan means the watchlist filter can
+    # move BELOW the counting aggregation — a cell's count is the number
+    # of raw rows hashing into it, so broadcast-joining the 80 driver-
+    # precomputed (row_j, cell) coordinates before the count is
+    # bit-identical while the aggregation input drops from d x raw to
+    # the colliding rows only (5.0 s -> 1.8 s at sf1.0, plan: 3 big
+    # Exchange -> 1 BroadcastHashJoin + 2 tiny Exchange; guide §3.2).
+    # The full d*w tier still exists where it belongs: the store path
+    # (rollup_job --sketch) builds, cascades and serves it unchanged.
+    return cms_probe_inline(
+        spark, ev, _CMS_WATCHLIST, "1h", item_col="conv_id",
+        item_alias="conv_id",
+    )
 
 
 def _sql_hot_convs_cms() -> str:

@@ -200,6 +200,71 @@ def hist_quantile_idx(hist_col: str | Column, q: float) -> Column:
     return let_col(rank, body)
 
 
+def hist_rank_quantiles(
+    df: DataFrame, tier: str, qs: dict[str, float], value_col: str = "v",
+    ts_col: str = "ts", lo: float = DEFAULT_LO, hi: float = DEFAULT_HI,
+    bins: int = DEFAULT_BINS, group_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Serve histogram quantiles DIRECTLY at the target tier — the
+    single-exchange read shape for ad-hoc (non-store) percentile queries.
+
+    The wide ``hist_rollup`` + ``hist_cascade`` path exists for the STORED
+    tier (fixed-width array rows, map-side partials, exact bin merges);
+    when a query computes fine tier -> coarse tier -> quantile in one
+    plan, the cascade identity (cascade(rollup(raw, fine), coarse) ==
+    rollup(raw, coarse), pytest-proven in test_rollup/test_metrics) means
+    the intermediate tier is pure overhead: at 1-minute granularity over
+    sparse series the per-(key, minute) histograms have ~1 row each, so
+    the 64-wide conditional-agg exchange carries ~66 longs per raw row
+    (measured 3.8 s -> 2.0 s at sf1.0 for hist_p95_1h; "Project before
+    the exchange" + "aggregate before you shuffle", optimization guide
+    §2.3).
+
+    Shape: one groupBy (group..., window) collecting the SORTED bin
+    multiset; quantile q = the rank-th smallest bin (rank = ceil(q*n)),
+    identical to the cumulative-scan convention of :func:`hist_quantile`
+    (the rank-th element of the sorted multiset IS the first bin whose
+    cumulative count reaches the rank). Per-group state is bounded by
+    the rows of one (key, window) group — the same envelope as the
+    engine's whole-series folds (ewma/holt collect a whole conv; this
+    collects one conv-window).
+    """
+    unit = TIERS[tier]
+    group = list(group_cols) if group_cols is not None else (
+        KEY if isinstance(KEY, list) else [KEY]
+    )
+    b = bin_index(value_col, lo, hi, bins)
+    step = (hi - lo) / bins
+    packed = (
+        df.select(
+            *group,
+            F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+            b.alias("_b"),
+        )
+        .groupBy(*group, "window_start")
+        .agg(
+            F.array_sort(F.collect_list("_b")).alias("_bins"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+    def est(q: float) -> Column:
+        rank = F.ceil(
+            F.col("n_points").cast("double") * F.lit(float(q))
+        ).cast("int")
+        return (
+            F.lit(lo)
+            + (F.element_at("_bins", rank) + 1).cast("double") * F.lit(step)
+        )
+
+    return packed.select(
+        *group,
+        "window_start",
+        F.col("n_points").cast("long").alias("n_points"),
+        *[est(q).alias(name) for name, q in qs.items()],
+    )
+
+
 def hist_saturated(
     hist_col: str | Column, q: float, lo: float = DEFAULT_LO,
     hi: float = DEFAULT_HI, bins: int = DEFAULT_BINS,
@@ -733,6 +798,39 @@ def lb_merge_global(rolled: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def lb_rollup_global(
+    df: DataFrame, tier: str = "1h", value_col: str = "v",
+    ts_col: str = "ts", sub_bits: int = LB_SUB_BITS, signed: bool = False,
+) -> DataFrame:
+    """Fleet-wide tall rank sketch built DIRECTLY at the target tier:
+    (window_start, bucket, cnt) with no per-series key.
+
+    ``lb_rollup`` keys the tier by conv_id because the STORE serves
+    per-series reads; a global read that immediately drops the key
+    (``lb_merge_global``) pays a raw-sized per-(conv, minute, bucket)
+    exchange for nothing — sums are associative, so grouping straight to
+    (window, bucket) yields the identical sketch while the map-side
+    partial agg now reduces to <= windows x buckets rows per task
+    (measured 1.7 s -> 0.8 s at sf1.0 for lb_rank_p99_1h; optimization
+    guide §2.3 "aggregate before you shuffle" / §2.4 "remove shuffles
+    outright")."""
+    unit = TIERS[tier]
+    tmp = df.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    b = (
+        lb_bucket_signed("_v", sub_bits)
+        if signed
+        else lb_bucket("_v", sub_bits)
+    )
+    return (
+        tmp.withColumn("bucket", b)
+        .groupBy("window_start", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def lb_quantiles(
     rolled: DataFrame, qs: dict[str, float], group_cols: tuple[str, ...],
     sub_bits: int = LB_SUB_BITS, signed: bool = False,
@@ -1084,6 +1182,79 @@ def cms_probe(
     )
     return (
         joined.groupBy("window_start", item_alias)
+        .agg(
+            F.when(F.count(F.lit(1)) < d, F.lit(0).cast("long"))
+            .otherwise(F.min("cnt"))
+            .alias("est_count"),
+            F.count(F.lit(1)).cast("int").alias("n_cells"),
+        )
+    )
+
+
+def cms_probe_inline(
+    spark, df: DataFrame, items: list[str], tier: str = "1h",
+    item_col: str = "conv_id", ts_col: str = "ts", d: int = CMS_D,
+    w: int = CMS_W, seed: int = CMS_SEED, item_alias: str = "item",
+) -> DataFrame:
+    """Probe a count-min sketch computed INLINE from raw events — the
+    watchlist filter pushed below the counting aggregation.
+
+    ``cms_rollup`` + ``cms_cascade`` + ``cms_probe`` is the STORE shape:
+    build all d*w cells per window once, serve many probes later. When
+    build and probe live in one plan, counting every cell only to keep
+    the watchlist's d*len(items) cells is wasted shuffle: a cell's count
+    is the number of raw rows hashing into it, so filtering rows to the
+    candidate cells BEFORE the count (broadcast inner join on the
+    driver-precomputed (row_j, cell) coordinates) produces the identical
+    estimates while the aggregation input drops from d x raw rows to the
+    rows that actually collide with a watchlist cell (measured 5.0 s ->
+    1.8 s at sf1.0 for hot_convs_cms_1h; optimization guide §3.2's
+    pre-filter-the-big-side pattern, with the exact candidate set
+    standing in for the Bloom filter). The join also attaches the item,
+    so when two watchlist items share a coordinate the cell's full count
+    reaches both — exactly what the store-path probe's join does."""
+    from insar_spark.functions.shared_hash import P31, h60_col, py_h60
+
+    a, b = cms_params(d, seed)
+    unit = TIERS[tier]
+    coords = [
+        (x, j, int((a[j] * (py_h60(x) % P31) + b[j]) % P31 % w))
+        for x in items
+        for j in range(d)
+    ]
+    cand = spark.createDataFrame(
+        coords, schema=f"{item_alias} string, row_j int, cell int"
+    )
+    hashed = df.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.pmod(
+            h60_col(F.col(item_col).cast("string")), F.lit(P31)
+        ).alias("_x"),
+    )
+    cells = hashed.select(
+        "window_start",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.pmod(
+                            F.lit(a[j]) * F.col("_x") + F.lit(b[j]),
+                            F.lit(P31),
+                        ),
+                        F.lit(w),
+                    ).cast("int")
+                    for j in range(d)
+                ]
+            )
+        ).alias("row_j", "cell"),
+    )
+    per_cell = (
+        cells.join(F.broadcast(cand), on=["row_j", "cell"], how="inner")
+        .groupBy("window_start", item_alias, "row_j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_cell.groupBy("window_start", item_alias)
         .agg(
             F.when(F.count(F.lit(1)) < d, F.lit(0).cast("long"))
             .otherwise(F.min("cnt"))
