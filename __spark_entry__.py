@@ -889,8 +889,17 @@ def q_w5_lowess_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     full independent re-execution of the Cleveland algorithm in DuckDB."""
     from insar_spark.operators.smoothing import lowess_smooth
 
-    t = events_series(spark, sf_dir)
-    return lowess_smooth(t, "v", min_span_days=14.0, it=2).select(
+    # r6 OPT: turn_idx is a row_number over (ts, event_id), so ordering by
+    # the raw (ts, event_id) is the same order without materializing it —
+    # the plan loses the row_number Window and its second Sort (guide §2.4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    return lowess_smooth(t, "v", min_span_days=14.0, it=2, tie_col="event_id").select(
         # 4dp: the Arrow UDF's numpy pairwise sums and the SQL recurrence
         # wobble up to ~2.5e-8 (cancellation in sxx/sxy), AND DuckDB's
         # parallel sum combines partials in run-varying order — so any
@@ -1003,8 +1012,17 @@ def q_w5_lowess_1pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-point expansion, weights and the weighted fit in DuckDB)."""
     from insar_spark.operators.smoothing import lowess_smooth
 
-    t = events_series(spark, sf_dir)
-    return lowess_smooth(t, "v", min_span_days=14.0, it=0).select(
+    # r6 OPT: turn_idx is a row_number over (ts, event_id), so ordering by
+    # the raw (ts, event_id) is the same order without materializing it —
+    # the plan loses the row_number Window and its second Sort (guide §2.4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    return lowess_smooth(t, "v", min_span_days=14.0, it=0, tie_col="event_id").select(
         # 4dp for the same reason as the robust variant: cross-engine sum
         # wobble + DuckDB's run-varying parallel sum order make finer
         # boundaries a per-run lottery (one 6dp flip measured at sf0.1)
@@ -4076,7 +4094,17 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical points (no float-summation lottery)."""
     from insar_spark.operators.downsample import lttb_downsample
 
-    return lttb_downsample(events_series(spark, sf_dir), 24)
+    # r6 OPT: turn_idx is a row_number over (ts, event_id), so ordering by
+    # the raw (ts, event_id) is the same order without materializing it —
+    # the plan loses the row_number Window and its second Sort (guide §2.4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    return lttb_downsample(t, 24, order_cols=["ts", "event_id"])
 
 
 def _lttb_sql(n_out: int = 24) -> str:

@@ -147,14 +147,22 @@ def lttb_downsample(
     df: DataFrame,
     n_out: int = 24,
     value_col: str = "v",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """LTTB to ``n_out`` points per series (passthrough when the series is
     already that short). Output: (conv_id, sel_idx, ts, v) — sel_idx is
-    the selection rank, ts/v are the ORIGINAL point's coordinates."""
+    the selection rank, ts/v are the ORIGINAL point's coordinates.
+
+    ``order_cols`` overrides the series order columns (default
+    ["turn_idx"]). Passing the raw order turn_idx is a row_number over
+    (e.g. ["ts", "event_id"]) yields the identical point sequence while
+    letting the caller skip materializing turn_idx — r6: drops the
+    row_number Window + second Sort from the plan."""
+    order = order_cols if order_cols is not None else ["turn_idx"]
     schema = f"{KEY} string, sel_idx int, ts timestamp, {value_col} double"
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
+        pdf = pdf.sort_values(order)
         ts = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
         x = [int(t - ts[0]) for t in ts]
         y = [int(v) for v in np.round(pdf[value_col].to_numpy() * 100)]
@@ -171,10 +179,5 @@ def lttb_downsample(
 
     from insar_spark.operators.batched import keyed_map
 
-    return keyed_map(
-        df.select(KEY, "turn_idx", "ts", value_col),
-        KEY,
-        ["turn_idx"],
-        pick,
-        schema,
-    )
+    cols = list(dict.fromkeys([KEY, *order, "ts", value_col]))
+    return keyed_map(df.select(*cols), KEY, order, pick, schema)

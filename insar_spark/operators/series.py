@@ -185,7 +185,45 @@ def rolling_mean_rows(df: DataFrame, value_col: str, half_width: int) -> DataFra
     return df.withColumn(f"{value_col}_rollrows", F.avg(value_col).over(w))
 
 
-def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
+# Series-length routing threshold for ewma_int/holt_int. The JVM
+# concat-fold is quadratic: Catalyst's array concat copies the accumulator
+# every step, so a series of n turns does ~n^2/2 element copies in ONE
+# task (the recursion is sequential — no salt can split it; at the
+# 10^5-turn composed-skew scale that is ~5e9 copies, hours at 10^6). The
+# Arrow int64 scan replays the IDENTICAL integer recursion in linear time
+# (Python ints; >> is floor division for both signs, exactly like Spark's
+# shiftright), so outputs are bit-equal by construction — pytest-pinned in
+# test_series_ops. Default 0 = every series takes the linear Arrow scan:
+# measured FASTER than the fold even at bench scale (1.16 s vs 1.20 s at
+# sf1.0 — the interpreted per-element lambda costs as much as the Arrow
+# crossing) and it keeps one code path hot. A positive threshold routes
+# short series through the zero-Python fold instead (the two branches
+# reuse one collect exchange), for callers that must keep Python out of
+# the plan.
+EWMA_FOLD_MAX_TURNS = 0
+
+
+def _scan_pts(df: DataFrame, value_col: str) -> DataFrame:
+    """(conv_id, pts) with pts = array<struct<o, turn_idx, v100>> sorted by
+    the packed total order — the shared collect stage of ewma_int/holt_int.
+    v100 = round(v*100) is computed JVM-SIDE so both the fold and the
+    Arrow route consume the same integers (no numpy-rounding divergence)."""
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ord_key().alias("o"),
+                F.col("turn_idx").alias("turn_idx"),
+                F.round(F.col(value_col) * 100).cast("long").alias("v100"),
+            )
+        )
+    )
+    return df.groupBy(KEY).agg(pts.alias("pts"))
+
+
+def ewma_int(
+    df: DataFrame, value_col: str = "v", shift: int = 2,
+    fold_max: int = EWMA_FOLD_MAX_TURNS,
+) -> DataFrame:
     """EWMA smoother with alpha = 1/2**shift, in INTEGER arithmetic at
     2-decimal resolution so the recursion is bit-reproducible across
     engines:
@@ -199,25 +237,23 @@ def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
     list_reduce. The reference smooths solved series with lowess
     (insar/timeseries.py:934-937); EWMA is its O(1)-state streaming
     complement (one shifted add per turn — what a live per-turn smoother
-    keeps as state). Plan: one shuffle collecting each series, an O(n)
-    JVM aggregate building the running array, posexplode back — no
-    Python, no window self-join. Per-series task memory is ~24 B/turn
-    (one struct array), so even a 10^6-turn mega-conversation folds in
-    ~24 MB — the same whole-series envelope as the lowess/solver
-    kernels. The recursion's floor shift is NOT associative, so a
-    chunked variant must carry s sequentially across chunks; it cannot
-    use the salted two-phase pattern.
-    """
+    keeps as state).
+
+    Plan: one shuffle collecting each series, then a LINEAR Arrow int64
+    scan of the collected arrays (default ``fold_max=0``). The previous
+    pure-JVM aggregate fold survives behind ``fold_max > 0`` (series up
+    to the threshold run it, longer ones route to the Arrow scan, both
+    branches reusing the one collect exchange), but its array-concat
+    accumulator is O(n²) copies inside one task — the one scale-killer
+    plan shape left after round 5 — and the interpreted per-element
+    lambda measured no faster than the Arrow crossing even at bench
+    scale (see EWMA_FOLD_MAX_TURNS). Both paths emit the integer state s
+    and share one final s/100.0 projection, so outputs are bit-identical
+    (pytest-pinned). The recursion's floor shift is NOT associative, so
+    neither route can use the salted two-phase pattern; the linear scan
+    is the mega-series escape."""
     mul = F.lit((1 << shift) - 1)
-    pts = F.array_sort(
-        F.collect_list(
-            F.struct(
-                ord_key().alias("o"),
-                F.col("turn_idx").alias("turn_idx"),
-                F.round(F.col(value_col) * 100).cast("long").alias("v100"),
-            )
-        )
-    )
+    collected = _scan_pts(df, value_col)
 
     def step(acc: Column, x: Column) -> Column:
         s_new = F.when(F.size(acc["ss"]) == 0, x["v100"]).otherwise(
@@ -236,20 +272,60 @@ def ewma_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
         step,
         lambda acc: acc["ss"],
     )
-    return (
-        df.groupBy(KEY)
-        .agg(pts.alias("pts"))
-        .withColumn("ss", fold)
-        .select(KEY, F.explode(F.arrays_zip("pts", "ss")).alias("z"))
-        .select(
+
+    mul_i, shift_i = (1 << shift) - 1, shift
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, idxs, states = [], [], []
+            for key, pt_idx, pt_v in zip(
+                pdf[KEY], pdf["_idx"], pdf["_v100"]
+            ):
+                s = None
+                for i, v in zip(pt_idx, pt_v):
+                    v = int(v)
+                    s = v if s is None else (v + mul_i * s) >> shift_i
+                    keys.append(key)
+                    idxs.append(int(i))
+                    states.append(s)
+            yield pd.DataFrame(
+                {KEY: keys, "turn_idx": idxs, "s": states}
+            )
+
+    def arrow_rows(src: DataFrame) -> DataFrame:
+        return src.select(
             KEY,
-            F.col("z.pts.turn_idx").alias("turn_idx"),
-            (F.col("z.ss") / F.lit(100.0)).alias("v_ewma"),
+            F.col("pts.turn_idx").alias("_idx"),
+            F.col("pts.v100").alias("_v100"),
+        ).mapInPandas(scan, schema=f"{KEY} string, turn_idx int, s long")
+
+    if fold_max <= 0:
+        routed = arrow_rows(collected)
+    else:
+        short = (
+            collected.filter(F.size("pts") <= fold_max)
+            .withColumn("ss", fold)
+            .select(KEY, F.explode(F.arrays_zip("pts", "ss")).alias("z"))
+            .select(
+                KEY,
+                F.col("z.pts.turn_idx").alias("turn_idx"),
+                F.col("z.ss").alias("s"),
+            )
         )
+        routed = short.unionByName(
+            arrow_rows(collected.filter(F.size("pts") > fold_max))
+        )
+    return routed.select(
+        KEY, "turn_idx", (F.col("s") / F.lit(100.0)).alias("v_ewma")
     )
 
 
-def holt_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
+def holt_int(
+    df: DataFrame, value_col: str = "v", shift: int = 2,
+    fold_max: int = EWMA_FOLD_MAX_TURNS,
+) -> DataFrame:
     """Holt double-exponential smoother (level + trend) with
     alpha = gamma = 1/2**shift, in the same integer-exact discipline as
     :func:`ewma_int` — EWMA tracks a level but lags any sustained drift;
@@ -263,23 +339,19 @@ def holt_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
     with v100 = round(v*100) as BIGINT. The trend b is genuinely SIGNED,
     so the recursion leans on arithmetic shiftright being floor division
     for negatives in BOTH engines (verified: Spark shiftright and DuckDB
-    ``>>`` agree on negative BIGINTs), and the oracle replays the exact
-    recursion as a thin recursive CTE (one join per step, no prefix
-    slices). Same plan and memory envelope as ewma_int: one shuffle
-    collecting each series, an O(n) JVM fold, posexplode back — and the
-    same caveat: the floor shift is not associative, so a chunked
-    variant must carry (l, b) sequentially across chunks.
+    ``>>`` agree on negative BIGINTs — and Python's ``>>`` is the same
+    floor shift, which is what makes the Arrow route below bit-equal),
+    and the oracle replays the exact recursion as a thin recursive CTE
+    (one join per step, no prefix slices). Same plan and routing as
+    ewma_int: one shuffle collecting each series, then the linear Arrow
+    int64 scan (default ``fold_max=0``), with the O(n²)-copy JVM fold
+    available behind ``fold_max > 0`` (both branches reuse the one
+    collect exchange and share the final /100.0 projections —
+    bit-identical outputs, pytest-pinned). The floor shift is not
+    associative, so neither route can use the salted two-phase pattern.
     """
     mul = F.lit((1 << shift) - 1)
-    pts = F.array_sort(
-        F.collect_list(
-            F.struct(
-                ord_key().alias("o"),
-                F.col("turn_idx").alias("turn_idx"),
-                F.round(F.col(value_col) * 100).cast("long").alias("v100"),
-            )
-        )
-    )
+    collected = _scan_pts(df, value_col)
 
     def step(acc: Column, x: Column) -> Column:
         first = F.size(acc["ls"]) == 0
@@ -307,20 +379,66 @@ def holt_int(df: DataFrame, value_col: str = "v", shift: int = 2) -> DataFrame:
         step,
         lambda acc: F.arrays_zip(acc["ls"], acc["bs"]),
     )
-    return (
-        df.groupBy(KEY)
-        .agg(pts.alias("pts"))
+    short = (
+        collected.filter(F.size("pts") <= fold_max)
         .withColumn("lb", fold)
         .select(KEY, F.explode(F.arrays_zip("pts", "lb")).alias("z"))
         .select(
             KEY,
             F.col("z.pts.turn_idx").alias("turn_idx"),
-            (F.col("z.lb.ls") / F.lit(100.0)).alias("v_level"),
-            (F.col("z.lb.bs") / F.lit(100.0)).alias("v_trend"),
-            ((F.col("z.lb.ls") + F.col("z.lb.bs")) / F.lit(100.0)).alias(
-                "v_forecast"
-            ),
+            F.col("z.lb.ls").alias("l"),
+            F.col("z.lb.bs").alias("b"),
         )
+    )
+
+    mul_i, shift_i = (1 << shift) - 1, shift
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, idxs, ls, bs = [], [], [], []
+            for key, pt_idx, pt_v in zip(
+                pdf[KEY], pdf["_idx"], pdf["_v100"]
+            ):
+                l = b = None
+                for i, v in zip(pt_idx, pt_v):
+                    v = int(v)
+                    if l is None:
+                        l, b = v, 0
+                    else:
+                        l_new = (v + mul_i * (l + b)) >> shift_i
+                        b = ((l_new - l) + mul_i * b) >> shift_i
+                        l = l_new
+                    keys.append(key)
+                    idxs.append(int(i))
+                    ls.append(l)
+                    bs.append(b)
+            yield pd.DataFrame(
+                {KEY: keys, "turn_idx": idxs, "l": ls, "b": bs}
+            )
+
+    def arrow_rows(src: DataFrame) -> DataFrame:
+        return src.select(
+            KEY,
+            F.col("pts.turn_idx").alias("_idx"),
+            F.col("pts.v100").alias("_v100"),
+        ).mapInPandas(
+            scan, schema=f"{KEY} string, turn_idx int, l long, b long"
+        )
+
+    if fold_max <= 0:
+        routed = arrow_rows(collected)
+    else:
+        routed = short.unionByName(
+            arrow_rows(collected.filter(F.size("pts") > fold_max))
+        )
+    return routed.select(
+        KEY,
+        "turn_idx",
+        (F.col("l") / F.lit(100.0)).alias("v_level"),
+        (F.col("b") / F.lit(100.0)).alias("v_trend"),
+        ((F.col("l") + F.col("b")) / F.lit(100.0)).alias("v_forecast"),
     )
 
 

@@ -34,16 +34,29 @@ def lowess_smooth(
     min_span_days: float = 2 * 365.25,
     it: int = 2,
     subtract_first: bool = False,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Lowess-smoothed series; one Arrow batch per conv_id.
 
     ``subtract_first`` reproduces the reference's day-1 layer subtraction
     after smoothing (insar/timeseries.py:966-1009).
+
+    ``tie_col`` names an alternative timestamp tie-breaker (e.g. the raw
+    ``event_id`` that ``turn_idx`` is a row_number over): passing it lets
+    a caller skip materializing turn_idx entirely, which removes the
+    row_number Window and its second Sort from the plan — keyed_map's one
+    exchange + one sort feeds the kernel directly (r6: 2 Sort + 1 Window
+    -> 1 Sort at identical output, since the kernel's stable ts sort
+    preserves the delivered tie order and equal-x rows are summed in the
+    same sequence either way).
     """
     schema = f"{KEY} string, ts timestamp, {value_col} double, smooth double"
+    tie = tie_col if tie_col is not None else (
+        "turn_idx" if "turn_idx" in df.columns else None
+    )
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "turn_idx"]) if "turn_idx" in pdf else pdf.sort_values("ts")
+        pdf = pdf.sort_values(["ts", tie]) if tie else pdf.sort_values("ts")
         x = _day_nums(pdf["ts"])
         y = pdf[value_col].to_numpy(dtype="float64")
         sm = lowess_xy(x, y, min_x_weighted=min_span_days, it=it)
@@ -60,10 +73,8 @@ def lowess_smooth(
 
     from insar_spark.operators.batched import keyed_map
 
-    cols = [KEY, "ts", value_col] + (
-        ["turn_idx"] if "turn_idx" in df.columns else []
-    )
-    sort = ["ts", "turn_idx"] if "turn_idx" in df.columns else ["ts"]
+    cols = [KEY, "ts", value_col] + ([tie] if tie else [])
+    sort = ["ts", tie] if tie else ["ts"]
     return keyed_map(df.select(*cols), KEY, sort, smooth, schema)
 
 

@@ -53,7 +53,10 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("metric_corr_1h", 2, 0),  # 1h tier build + per-conv component agg
         ("watermark_sizing", 3, 0),  # lateness window (reused) + bucket agg
         #   + single-partition rank scan over <= ~2k bucket rows
-        ("holt_smooth", 1, 0),  # one collect-fold shuffle, JVM aggregate
+        # one collect-fold shuffle (reused by both length-route branches);
+        # the r6 mega-series Arrow route adds one vectorized stage that
+        # only sees series past EWMA_FOLD_MAX_TURNS
+        ("holt_smooth", 1, 1),
         ("tier_reconcile_1h", 3, 0),  # tier build (reused) + join sides
     ],
 )

@@ -205,6 +205,34 @@ def test_holt_int_matches_python_recursion(spark, transcripts, transcripts_pdf):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all()
 
 
+def test_ewma_holt_arrow_route_equals_fold(spark, transcripts):
+    """The r6 mega-series route (Arrow int64 scan for series longer than
+    fold_max) is bit-equal to the JVM concat-fold: force fold_max=0 so
+    EVERY series takes the Arrow route and compare against the pure-fold
+    output (fold_max high enough that no series routes)."""
+    from pyspark.sql import functions as F
+
+    src = S.reference_align(S.with_text_len(transcripts)).select(
+        "conv_id", "turn_idx", "ts", F.col("text_len_aligned").alias("v")
+    )
+
+    def sorted_pdf(df, cols):
+        return (
+            df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    fold = sorted_pdf(S.ewma_int(src, "v", fold_max=10**9), ["v_ewma"])
+    routed = sorted_pdf(S.ewma_int(src, "v", fold_max=0), ["v_ewma"])
+    assert len(fold) == len(routed) > 0
+    assert (fold["v_ewma"].to_numpy() == routed["v_ewma"].to_numpy()).all()
+
+    fold_h = sorted_pdf(S.holt_int(src, "v", fold_max=10**9), ["v_level"])
+    routed_h = sorted_pdf(S.holt_int(src, "v", fold_max=0), ["v_level"])
+    assert len(fold_h) == len(routed_h) > 0
+    for c in ("v_level", "v_trend", "v_forecast"):
+        assert (fold_h[c].to_numpy() == routed_h[c].to_numpy()).all()
+
+
 def test_holt_int_tracks_linear_trend(spark):
     """On a pure linear ramp the trend estimate converges to the true
     slope and the one-step forecast beats the level-only EWMA."""
