@@ -637,13 +637,17 @@ def q_sim_cosine_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side: zip_with + aggregate (no Python). The scale path (LSH/IVF)
     lands in a later round; this is the exact baseline.
     """
+    from insar_spark.operators.dedup import ensure_parallelism
+
     emb = load(spark, sf_dir, "embeddings")
     qv = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qe")
         )
     )
-    joined = emb.crossJoin(qv)
+    # r6: spread the one-split scan so the per-row interpreted dot folds
+    # use every core (task layout only — identical per-row arithmetic)
+    joined = ensure_parallelism(emb).crossJoin(qv)
 
     def dot(a, b):
         return F.aggregate(
@@ -1269,22 +1273,16 @@ def q_hist_p95_global_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold yields global p50/p95 — the dashboard query a raw-value
     percentile could never serve from a continuous aggregate. Input is the
     (stored, 60×-reduced) 1m tier, output is one row per hour."""
-    from insar_spark.operators.sketch import (
-        hist_merge_global,
-        hist_quantile,
-        hist_rollup,
-    )
+    from insar_spark.operators.sketch import hist_rank_quantiles
 
-    t = events_series(spark, sf_dir)
-    h1m = hist_rollup(t, "1m", value_col="v")
-    g1h = hist_merge_global(h1m, "1h")
-    return g1h.select(
-        "window_start",
-        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "n_points"
-        ),
-        hist_quantile("hist", 0.95).alias("p95_est"),
-        hist_quantile("hist", 0.50).alias("p50_est"),
+    # r6 OPT: bin-count merges are exact, so the global read builds
+    # directly at 1h with no series key and no intermediate keyed tier
+    # (one narrow exchange; the cascade/merge identity stays pytest-
+    # proven and runs in the store path — guide §2.3/§2.4)
+    t = events_series(spark, sf_dir).select("conv_id", "ts", "v")
+    return hist_rank_quantiles(
+        t, "1h", {"p95_est": 0.95, "p50_est": 0.50}, value_col="v",
+        group_cols=(),
     )
 
 
@@ -1322,16 +1320,17 @@ def q_hist_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-time flag (hist_saturated). The oracle replays bins, clamp
     counts, and the rank/upper-edge convention in SQL."""
     from insar_spark.operators.sketch import (
-        hist_merge_global,
         hist_quantile,
-        hist_rollup,
+        hist_rollup_global,
         hist_saturated,
     )
 
+    # r6 OPT: direct global 1h build (bin + clamp sums are exact merges;
+    # the per-(conv, minute) keyed intermediate only added a 34-column
+    # raw-sized shuffle — guide §2.3/§2.4)
     lo, hi, bins = 0.0, 128.0, 32
     t = events_series(spark, sf_dir)
-    h1m = hist_rollup(t, "1m", value_col="v", lo=lo, hi=hi, bins=bins)
-    g1h = hist_merge_global(h1m, "1h", bins=bins)
+    g1h = hist_rollup_global(t, "1h", value_col="v", lo=lo, hi=hi, bins=bins)
     return g1h.select(
         "window_start",
         F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
@@ -1464,17 +1463,14 @@ def q_lb_rank_series_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the keyed cascade + quantile path of the lb family the
     global query (lb_rank_p99_1h) doesn't touch. Values are integer
     (floor(v)); estimates are exact integers, no float-parity risk."""
-    from insar_spark.operators.sketch import (
-        lb_cascade,
-        lb_quantiles,
-        lb_rollup,
-    )
+    from insar_spark.operators.sketch import lb_quantiles, lb_rollup
 
     t = events_series(spark, sf_dir).withColumn(
         "vi", F.floor("v").cast("long")
     )
-    s1m = lb_rollup(t, "1m", value_col="vi")
-    s1h = lb_cascade(s1m, "1h")
+    # r6 OPT: counts sum associatively — direct keyed 1h build, one
+    # fewer raw-sized exchange (guide §2.4)
+    s1h = lb_rollup(t, "1h", value_col="vi")
     return lb_quantiles(
         s1h, {"p50_est": 0.50, "p95_est": 0.95}, ("conv_id", "window_start")
     )
@@ -3303,7 +3299,6 @@ def q_distinct_convs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental estimate -m*ln(1-set/m) stays out of the hash gate and
     is tolerance-tested in pytest."""
     from insar_spark.operators.sketch import (
-        distinct_cascade,
         distinct_rollup,
         distinct_set_bits,
     )
@@ -3313,8 +3308,10 @@ def q_distinct_convs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    b1m = distinct_rollup(ev, "1m")
-    b1h = distinct_cascade(b1m, "1h")
+    # r6 OPT: bit_or is associative — direct 1h build == 1m-then-cascade
+    # bit-for-bit, minus one raw-sized exchange (guide §2.4); the cascade
+    # stays pytest-proven and runs in the store path
+    b1h = distinct_rollup(ev, "1h")
     return b1h.select(
         "window_start",
         distinct_set_bits("bitmap").alias("n_set_bits"),
@@ -3353,7 +3350,6 @@ def q_distinct_convs_by_type_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer contract surface as the global query (set bits + XOR
     checksum)."""
     from insar_spark.operators.sketch import (
-        distinct_cascade,
         distinct_rollup,
         distinct_set_bits,
     )
@@ -3364,8 +3360,9 @@ def q_distinct_convs_by_type_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    b1m = distinct_rollup(ev, "1m", group_col="event_type")
-    b1h = distinct_cascade(b1m, "1h", group_col="event_type")
+    # r6 OPT: direct keyed 1h build (bit_or associative, same as the
+    # global query — guide §2.4)
+    b1h = distinct_rollup(ev, "1h", group_col="event_type")
     return b1h.select(
         "event_type",
         "window_start",
@@ -3411,7 +3408,6 @@ def q_distinct_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     XOR checksum, flag); the oracle replays positions, packing, cascade
     and threshold in SQL."""
     from insar_spark.operators.sketch import (
-        distinct_cascade_tall,
         distinct_read_tall,
         distinct_rollup_tall,
     )
@@ -3421,8 +3417,9 @@ def q_distinct_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
+    # r6 OPT: direct 1h builds for both widths (bit_or associative)
     small = distinct_read_tall(
-        distinct_cascade_tall(distinct_rollup_tall(ev, "1m", m=16), "1h"),
+        distinct_rollup_tall(ev, "1h", m=16),
         m=16,
     ).select(
         "window_start",
@@ -3431,9 +3428,7 @@ def q_distinct_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("saturated").alias("saturated_small"),
     )
     big = distinct_read_tall(
-        distinct_cascade_tall(
-            distinct_rollup_tall(ev, "1m", m=1 << 20), "1h"
-        ),
+        distinct_rollup_tall(ev, "1h", m=1 << 20),
         m=1 << 20,
     ).select(
         "window_start",
@@ -3642,19 +3637,18 @@ def q_kmv_distinct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade is exact. Contract surface: sample size + max retained hash
     (int64-exact) + the estimate — exact below k, (k-1)·2^60/h_k above
     it, one deterministic double division."""
-    from insar_spark.operators.sketch import (
-        kmv_cascade,
-        kmv_estimate,
-        kmv_rollup,
-    )
+    from insar_spark.operators.sketch import kmv_estimate, kmv_rollup
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    t1m = kmv_rollup(ev, "1m", k=_KMV_Q_K)
-    t1h = kmv_cascade(t1m, "1h", k=_KMV_Q_K)
+    # r6 OPT: the k smallest of an hour == union-and-retake of its
+    # minutes (the documented cascade-exactness), so build 1h directly —
+    # drops one raw-sized (minute, hash) exchange; the cascade stays
+    # pytest-proven and runs in the store path
+    t1h = kmv_rollup(ev, "1h", k=_KMV_Q_K)
     return t1h.select(
         "window_start",
         F.size("kmv").cast("int").alias("n_sample"),
@@ -3702,7 +3696,6 @@ def q_kmv_overlap_types_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_estimate,
         kmv_intersect,
         kmv_rollup,
-        kmv_cascade,
         kmv_union,
     )
 
@@ -3716,8 +3709,9 @@ def q_kmv_overlap_types_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp").alias("ts"),
         )
     )
-    t1h = kmv_rollup(ev, "1h", k=_KMV_Q_K, group_col="event_type")
-    t1d = kmv_cascade(t1h, "1d", k=_KMV_Q_K, group_col="event_type")
+    # r6 OPT: direct keyed 1d build (union-and-retake exactness; one
+    # fewer raw-sized exchange — guide §2.4)
+    t1d = kmv_rollup(ev, "1d", k=_KMV_Q_K, group_col="event_type")
     a = t1d.filter(F.col("event_type") == "click").select(
         "window_start", F.col("kmv").alias("kmv_a")
     )
@@ -4181,16 +4175,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in CORRECTNESS_r01/r02.json rotate past position 50 (their history
     persists; nothing is lost by rotating them out of the window)."""
     return {
-        # -- newest in round 5: quality/monitoring telemetry family
-        #    (operators/quality.py — integer-exact flags) -----------------
-        "late_data_profile": q_late_data_profile,
+        # -- r6 optimization round: every query whose backing code was
+        #    optimized this round rotates (back) into the graded window —
+        #    the five below were outside it; the rest of the r6-touched
+        #    set (sketch family, ewma/holt, lttb, sbas_solve_from_blobs,
+        #    dedup_minhash_incremental, sim_lsh_store_topk) already sits
+        #    in the first 50 ------------------------------------------------
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "w5_lowess_smooth": q_w5_lowess_smooth,
+        "w5_lowess_1pass": q_w5_lowess_1pass,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_cosine_vs_query": q_sim_cosine_vs_query,
+        # -- round-5 telemetry family (quality.py untouched in r6; the five
+        #    r5-green rows late_data_profile / counter_increase_1h /
+        #    metric_corr_1h / tier_reconcile_1h / top_tokens_per_source
+        #    rotate out past the window, code byte-unchanged) --------------
         "cusum_level_shift": q_cusum_level_shift,
-        "counter_increase_1h": q_counter_increase_1h,
         "anomaly_hod_1h": q_anomaly_hod_1h,
-        "metric_corr_1h": q_metric_corr_1h,
         "watermark_sizing": q_watermark_sizing,
         "holt_smooth": q_holt_smooth,
-        "tier_reconcile_1h": q_tier_reconcile,
         # -- new in round 5: visualization downsample family (M4 + LTTB),
         #    KMV distinct sketch (set-intersection capability), count-min
         #    hot keys, bitmap saturation, signed lb delta tails -----------
@@ -4207,7 +4210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sketch family: graded r4, kept in-window because round 5
         #    touches sketch.py (shared code paths — VERDICT r4 #4) --------
         "hist_p95_global_1h": q_hist_p95_global_1h,
-        "top_tokens_per_source": q_top_tokens_per_source,
         "distinct_convs_1h": q_distinct_convs_1h,
         "doc_oov_rate": q_doc_oov_rate,
         # -- r3's only red row: oracle fixed (sum(n_chars)::bigint — DuckDB
@@ -4247,21 +4249,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_turn_deltas": q_w1_turn_deltas,
         "w2_cumsum_reconstruct": q_w2_cumsum_reconstruct,
         "dedup_exact": q_dedup_exact,
-        "sim_cosine_vs_query": q_sim_cosine_vs_query,
         "w7_gapfill_linear_1d": q_w7_gapfill_linear_1d,
         "a10_polyfit_deg1": q_a10_polyfit_deg1,
         "sbas_solve_bandwidth1": q_sbas_solve_bandwidth1,
-        "w5_lowess_smooth": q_w5_lowess_smooth,
-        "w5_lowess_1pass": q_w5_lowess_1pass,
         "w6_temporal_filter": q_w6_temporal_filter,
         "w7_gapfill_spline": q_w7_gapfill_spline,
         "gorilla_compress_stats": q_gorilla_compress_stats,
         "text_tokens_bpe": q_text_tokens_bpe,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_fingerprint_pairs": q_dedup_fingerprint_pairs,
         "lang_id_heuristic": q_lang_id,
-        "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
@@ -4272,6 +4269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup_1m": q_salted_rollup_1m,
         # ---- rotation boundary: everything below is r2-driver-green and
         #      unchanged; rotated past the driver's 50-row window ----------
+        "late_data_profile": q_late_data_profile,
+        "counter_increase_1h": q_counter_increase_1h,
+        "metric_corr_1h": q_metric_corr_1h,
+        "tier_reconcile_1h": q_tier_reconcile,
+        "top_tokens_per_source": q_top_tokens_per_source,
         "w8_ffill": q_w8_ffill,
         "w9_diff_k3": q_w9_diff_k3,
         "a12_rolling_mean_1h": q_a12_rolling_mean_1h,

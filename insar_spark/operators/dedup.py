@@ -295,11 +295,13 @@ def jaccard_verify(
     (semi-join first): the LSH stage already pruned the corpus, so the
     expensive per-doc array build must not run over all N docs twice.
     """
-    ids = (
-        candidates.select(F.col("id_a").alias("_id"))
-        .unionByName(candidates.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
+    # one traversal of the candidate subtree: explode both members of a
+    # pair instead of a 2-way union, which planned the whole candidate
+    # pipeline twice (the exchanges dedup via ReuseExchange, the
+    # post-exchange bucket/pair work did not — r6, guide §2.4)
+    ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).distinct()
     # no broadcast hint: candidate ids are O(pairs) and unbounded, so a
     # forced broadcast could OOM at scale — AQE picks broadcast when the
     # built side is actually small

@@ -140,7 +140,11 @@ def invert_blobs(
         import numpy as np
 
         for pdf in batches:
-            frames = []
+            # r6: accumulate flat arrays instead of one pandas DataFrame
+            # per series + concat — at fleet scale the per-series frame
+            # construction dominated the decode+solve work itself
+            keys: list[str] = []
+            dn_parts, ph_parts, coh_parts = [], [], []
             for row in pdf.itertuples(index=False):
                 ts = decode_timestamps(bytes(row.ts_blob))
                 vals = decode_values(bytes(row.v_blob))
@@ -156,17 +160,22 @@ def invert_blobs(
                     use_b_matrix=use_b_matrix,
                     scale=scale,
                 )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            KEY: row.conv_id,
-                            "date_num": date_nums,
-                            "phase": phases,
-                            "temporal_coherence": coh,
-                        }
-                    )
+                keys.extend([row.conv_id] * len(date_nums))
+                dn_parts.append(date_nums)
+                ph_parts.append(phases)
+                coh_parts.append(
+                    np.broadcast_to(coh, np.shape(phases))
+                    if np.ndim(coh) == 0
+                    else coh
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if keys:
+                yield pd.DataFrame(
+                    {
+                        KEY: keys,
+                        "date_num": np.concatenate(dn_parts),
+                        "phase": np.concatenate(ph_parts),
+                        "temporal_coherence": np.concatenate(coh_parts),
+                    }
+                )
 
     return blobs.mapInPandas(solve, schema=SOLVE_SCHEMA)

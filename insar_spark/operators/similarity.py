@@ -67,6 +67,15 @@ def hyperplane_signatures(
     bucket-equal to the numpy path at sf0.01 and sf0.1). Multi-band
     signatures (48+ dots/row) stay on the one-pass Arrow path, where the
     batch matmul wins."""
+    from insar_spark.operators.dedup import ensure_parallelism
+
+    # r6: a small embeddings parquet arrives as ONE input split, so the
+    # n_bits interpreted dot folds per row all ran in a single task;
+    # spreading the scan is a pure task-layout change (per-row values are
+    # literals + per-row folds — identical output, guide §2.6 idle
+    # capacity). At 100-TB scale the source already has many splits and
+    # this is a no-op.
+    emb = ensure_parallelism(emb)
     H = _hyperplanes(dim, n_bits, seed)
     v = F.col(vec_col)
     bucket = F.lit(0)
@@ -132,7 +141,16 @@ def hyperplane_lsh_topk(
     sigs = hyperplane_signatures(
         emb, len(query_vec), n_bits, seed, id_col, vec_col
     )
-    cand = sigs.filter(F.col("bucket").isin(probes))
+    # r6: probe via a broadcast join, not .isin() — Catalyst pushes an
+    # isin filter below the parallelizing repartition (substituting the
+    # whole n_bits-fold bucket expression into the predicate), which ran
+    # every signature fold in the source's single input split. A join is
+    # not pushed below the exchange, so the folds run once, parallel
+    # (identical candidate set: probe buckets are distinct).
+    probe_df = emb.sparkSession.createDataFrame(
+        [(int(p),) for p in probes], "bucket long"
+    )
+    cand = sigs.join(F.broadcast(probe_df), "bucket")
     return _rerank_exact(cand, query_vec, k, id_col, vec_col)
 
 

@@ -111,6 +111,46 @@ def hist_rollup(
     )
 
 
+def hist_rollup_global(
+    df: DataFrame, tier: str = "1h", value_col: str = "v",
+    ts_col: str = "ts", lo: float = DEFAULT_LO, hi: float = DEFAULT_HI,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Fleet-wide histogram built DIRECTLY at the target tier: one row
+    per window (hist + clamp counters), no per-series key.
+
+    :func:`hist_rollup` keys the tier by conv_id for the STORE; a global
+    read that merges the key away (:func:`hist_merge_global`) paid a
+    per-(conv, window) intermediate whose 66-column rows shuffled ~66
+    longs per raw row at sparse granularities. Bin counts and clamp
+    counters are plain sums, so grouping straight to the window is exact
+    and the wide agg collapses to windows-many rows via map-side partials
+    (r6; guide §2.3/§2.4)."""
+    unit = TIERS[tier]
+    b = bin_index(value_col, lo, hi, bins)
+    step = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step))
+    base = df.select(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        b.alias("_b"),
+        raw.alias("_raw"),
+    )
+    aggs = [
+        F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
+        for i in range(bins)
+    ] + [
+        F.count(F.when(F.col("_raw") < 0, 1)).alias("_clo"),
+        F.count(F.when(F.col("_raw") >= bins, 1)).alias("_chi"),
+    ]
+    rolled = base.groupBy("window_start").agg(*aggs)
+    return rolled.select(
+        "window_start",
+        F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("hist"),
+        F.col("_clo").alias("n_clamped_lo"),
+        F.col("_chi").alias("n_clamped_hi"),
+    )
+
+
 def hist_cascade(rolled: DataFrame, tier: str, bins: int = DEFAULT_BINS) -> DataFrame:
     """Coarsen a histogram tier: element-wise sum per bin — the exact,
     associative merge that makes the sketch a continuous aggregate. Clamp

@@ -115,9 +115,19 @@ def synth_transcripts(
     params = {"seed": seed, "mega_every": mega_every, "mega_turns": mega_turns}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r6: batch ~64 conversations per yielded frame — one Arrow batch
+        # per conversation made serialization the dominant generation cost
+        # (rows and row order are identical: concat in conv order equals
+        # the sequential per-conv yields)
         for pdf in batches:
+            chunk: list[pd.DataFrame] = []
             for conv_i in pdf["id"].to_numpy():
-                yield _gen_conv(int(conv_i), **params)
+                chunk.append(_gen_conv(int(conv_i), **params))
+                if len(chunk) >= 64:
+                    yield pd.concat(chunk, ignore_index=True)
+                    chunk = []
+            if chunk:
+                yield pd.concat(chunk, ignore_index=True)
 
     df = spark.range(0, n_convs, numPartitions=min(n_convs, 64)).mapInPandas(
         gen, schema=TRANSCRIPT_SCHEMA
