@@ -53,7 +53,10 @@ def m4_downsample(
     points. ``every`` is a date_trunc unit (week/day/hour — calendar
     truncation, identical in Spark and DuckDB); ``min``/``max`` ties
     resolve to the earliest point in the bucket (packed-key
-    arg_min/arg_max — deterministic cross-engine)."""
+    arg_min/arg_max — deterministic cross-engine). Values are assumed
+    EXACT 2-DECIMALS (the corpus contract, module header): the tie-break
+    key packs round(v*100), so a >2-decimal value can resolve ts_min to
+    a point not attaining v_min."""
     v100 = F.round(F.col(value_col) * 100).cast("bigint")
     key_min = v100 * _PACK + F.col(idx_col)
     key_max = v100 * _PACK + (F.lit(_PACK - 1) - F.col(idx_col))
@@ -104,14 +107,22 @@ def m4_cascade(m4: DataFrame, every: str = "week") -> DataFrame:
 
 
 def _lttb_select(x: list[int], y: list[int], n_out: int) -> list[int]:
-    """Exact-integer LTTB index selection (Python ints — no float areas).
+    """Exact-integer LTTB index selection (no float areas).
 
     Buckets split the n-2 interior points by INDEX (bucket k = indices i
     with floor((i-1)*(n_out-2)/(n-2)) == k); the candidate maximizing
     |(px*m - Sx)*(cy - py) - (px - cx)*(Sy - py*m)| wins (the triangle
     area against the previous pick and the next bucket's centroid,
     scaled by the bucket size m to stay integral), earliest index on
-    ties. First and last points are always kept."""
+    ties. First and last points are always kept.
+
+    r6: when a conservative magnitude bound proves every intermediate
+    fits int64, the per-bucket argmax runs vectorized in numpy int64
+    (bit-identical: int64 ops are exact below overflow, and np.argmax
+    returns the FIRST maximum — the same earliest-index tie rule);
+    otherwise the arbitrary-precision Python-int path below keeps
+    exactness for pathological spans. Per-point Python work drops to the
+    O(n_out) bucket loop."""
     n = len(x)
     if n <= n_out:
         return list(range(n))
@@ -122,6 +133,14 @@ def _lttb_select(x: list[int], y: list[int], n_out: int) -> list[int]:
     # first index of bucket k is therefore 1 + ceil(k*interior/b)
     starts = [1 + (k * interior + b - 1) // b for k in range(b)]
     ends = starts[1:] + [n - 1]  # exclusive
+    # overflow guard (Python ints, exact): |area| <= 6 * X * Y * M with
+    # X = max|x|, Y = max|y|, M = max bucket size — every intermediate
+    # term is bounded by 4*X*Y*M, so 6XYM < 2^62 leaves a 2x margin
+    X = max(abs(min(x)), abs(max(x)), 1)
+    Y = max(abs(min(y)), abs(max(y)), 1)
+    M = max(e - s for s, e in zip(starts, ends)) + 1
+    if 6 * X * Y * M < (1 << 62):
+        return _lttb_select_np(x, y, n, b, starts, ends)
     sel = [0]
     px, py = x[0], y[0]
     for k in range(b):
@@ -143,6 +162,36 @@ def _lttb_select(x: list[int], y: list[int], n_out: int) -> list[int]:
     return sel
 
 
+def _lttb_select_np(
+    x: list[int], y: list[int], n: int, b: int,
+    starts: list[int], ends: list[int],
+) -> list[int]:
+    """Vectorized int64 core of :func:`_lttb_select` — identical bucket
+    membership, area arithmetic, and earliest-index tie rule; only called
+    under the caller's no-overflow bound."""
+    xa = np.asarray(x, dtype=np.int64)
+    ya = np.asarray(y, dtype=np.int64)
+    sel = [0]
+    px, py = int(xa[0]), int(ya[0])
+    for k in range(b):
+        if k + 1 < b:
+            lo, hi = starts[k + 1], ends[k + 1]
+            m = hi - lo
+            sx = int(xa[lo:hi].sum())
+            sy = int(ya[lo:hi].sum())
+        else:
+            m, sx, sy = 1, int(xa[n - 1]), int(ya[n - 1])
+        s, e = starts[k], ends[k]
+        area = np.abs(
+            (px * m - sx) * (ya[s:e] - py) - (px - xa[s:e]) * (sy - py * m)
+        )
+        best = s + int(np.argmax(area))  # first max == earliest index
+        sel.append(best)
+        px, py = int(xa[best]), int(ya[best])
+    sel.append(n - 1)
+    return sel
+
+
 def lttb_downsample(
     df: DataFrame,
     n_out: int = 24,
@@ -152,6 +201,9 @@ def lttb_downsample(
     """LTTB to ``n_out`` points per series (passthrough when the series is
     already that short). Output: (conv_id, sel_idx, ts, v) — sel_idx is
     the selection rank, ts/v are the ORIGINAL point's coordinates.
+    Values are assumed EXACT 2-DECIMALS (module header): y = round(v*100)
+    uses numpy half-to-even, which diverges from the Spark/DuckDB
+    half-away convention at exact .5 midpoints of >2-decimal inputs.
 
     ``order_cols`` overrides the series order columns (default
     ["turn_idx"]). Passing the raw order turn_idx is a row_number over

@@ -73,9 +73,13 @@ class TierStore:
     retention: dict[str, int | None] = field(
         default_factory=lambda: dict(DEFAULT_RETENTION)
     )
-    # how many PAST snapshots remain time-travelable. 0 = vacuum retired
-    # files at commit time (the pre-time-travel behavior); N keeps the
-    # last N snapshots' state files + their data files on disk.
+    # how many snapshots remain time-travelable, INCLUDING the current
+    # one (advisor r5: keep=N prunes state with sid <= latest-N, so N=1
+    # keeps only the live snapshot readable — N-1 PAST states survive).
+    # 0 = vacuum retired files at commit time (the pre-time-travel
+    # behavior); a drop-and-refill flow (--restate-day) that must keep
+    # the pre-restate state readable needs N >= 3 (pre-drop, drop,
+    # refill). N keeps the last N snapshots' state files + data files.
     snapshot_keep: int = 0
 
     # ------------------------------------------------------------ manifest
@@ -158,6 +162,40 @@ class TierStore:
         latest = man["snapshots"][-1]["id"] if man["snapshots"] else 0
         if latest:
             self._write_state(tier, latest, man["partitions"])
+        # A pending tombstone must never cover a path the CURRENT state
+        # references (r6, advisor finding): a day re-committed into the
+        # same directory before a dir-level (legacy pre-file-tracking)
+        # tombstone aged out would otherwise be rmtree'd together with
+        # its new, manifest-referenced files. Live file paths are dropped
+        # from every tombstone (the rollback-path un-tombstoning, applied
+        # on every finalize); a dir-level tombstone whose day is live
+        # again is EXPANDED to the directory's non-live files, so the
+        # old bytes still age out on the original snapshot's horizon
+        # while the re-committed files survive.
+        live_files = set(self._part_paths(tier, man["partitions"]))
+        live_day_dirs = {
+            os.path.relpath(self.tier_path(tier, d), self.root)
+            for d in man["partitions"]
+        }
+        for ts in man.get("tombstones", []):
+            new_paths: list[str] = []
+            for p in ts["paths"]:
+                if p in live_files:
+                    continue
+                if p in live_day_dirs:
+                    full = os.path.join(self.root, p)
+                    if os.path.isdir(full):
+                        new_paths.extend(
+                            os.path.join(p, f)
+                            for f in sorted(os.listdir(full))
+                            if os.path.join(p, f) not in live_files
+                        )
+                    continue
+                new_paths.append(p)
+            ts["paths"] = new_paths
+        man["tombstones"] = [
+            t for t in man.get("tombstones", []) if t["paths"]
+        ]
         cutoff = latest - keep
         doomed: list[str] = []
         kept_stones = []

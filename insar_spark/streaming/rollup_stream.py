@@ -908,6 +908,14 @@ def stateful_kmv_1m(turns: DataFrame, k: int = 256) -> DataFrame:
     per window equals the batch ``kmv_rollup`` array bit-for-bit
     (stream == batch test), so a live window's distinct estimate — and
     its overlap against any stored KMV tier — is servable mid-window.
+    
+    SCOPE (advisor r5): this runs with NoTimeout and no watermark, so a
+    long-running stream accumulates one state entry per 1-minute window
+    forever — it is the drain-style test/backfill path. A production
+    deployment must add an event-time watermark +
+    GroupStateTimeout.EventTimeTimeout (state for windows past the
+    watermark is final — the batch cascade covers them) before running
+    unbounded.
     """
     import pandas as pd
 

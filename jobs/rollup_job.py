@@ -112,16 +112,20 @@ def main(argv: list[str] | None = None) -> dict:
         "those days from --input (TimescaleDB continuous-aggregate "
         "invalidation analog). The drop is a snapshot, not a mutation: "
         "with --snapshot-keep N the pre-restate numbers stay readable "
-        "via read_tier(as_of=...) and rollback-able. Repeatable",
+        "via read_tier(as_of=...) and rollback-able. Covers the tiers "
+        "THIS job maintains; stream-only tiers (m4_1m, *_1m_log) must "
+        "be restated by stream_job. Repeatable",
     )
     p.add_argument(
         "--snapshot-keep",
         type=int,
         default=0,
         metavar="N",
-        help="keep the last N tier-store snapshots time-travelable "
-        "(read_tier as_of / rollback); retired files are tombstoned and "
-        "vacuumed only past this horizon. 0 (default) vacuums at commit",
+        help="keep the last N tier-store snapshots (INCLUDING the "
+        "current one) time-travelable (read_tier as_of / rollback); "
+        "retired files are tombstoned and vacuumed only past this "
+        "horizon. 0 (default) vacuums at commit; --restate-day needs "
+        "N>=3 to keep the pre-restate state readable",
     )
     args = p.parse_args(argv)
 

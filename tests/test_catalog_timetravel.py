@@ -136,6 +136,32 @@ def test_rollback_unvacuums_files_the_target_needs(spark, transcripts, store):
     assert store.read_tier(spark, "1h").count() == n
 
 
+def test_recommitted_day_survives_legacy_dir_tombstone(spark, transcripts, store):
+    """r6 advisor fix: a legacy pre-file-tracking partition entry is
+    tombstoned as its whole DAY DIRECTORY; if the same day is re-committed
+    into that directory before the tombstone ages past the keep horizon,
+    the deferred rmtree must not take the new, manifest-referenced files
+    with it. The finalize pass now expands such a tombstone to the
+    directory's non-live files."""
+    rolled = rollup_turns(transcripts, "1d")
+    store.write_tier(rolled, "1d")  # snapshot 1
+    day = _days(store, "1d")[0]
+    # simulate a legacy manifest entry (no per-file tracking) for that day
+    man = store.manifest("1d")
+    man["partitions"][day].pop("files", None)
+    store._commit("1d", man)
+    store.drop_partitions("1d", [day])  # snapshot 2: dir-level tombstone
+    res = store.write_tier(rolled, "1d")  # snapshot 3: same day, same dir
+    assert day in res["written_days"]
+    n = store.read_tier(spark, "1d").count()
+    assert n == rolled.count()
+    # age every tombstone out: the re-committed day must survive the vacuum
+    store.expire_snapshots("1d", keep_last=0)
+    assert store.read_tier(spark, "1d").count() == n
+    day_dir = store.tier_path("1d", day)
+    assert os.path.isdir(day_dir) and os.listdir(day_dir)
+
+
 def test_keep_zero_matches_legacy_eager_vacuum(spark, transcripts, tmp_path):
     """The default store (snapshot_keep=0) vacuums retired files at commit
     time, exactly like the pre-time-travel TierStore."""

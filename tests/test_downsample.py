@@ -66,6 +66,22 @@ def test_lttb_select_matches_float_reference(n, n_out):
     assert _lttb_select(x, y, n_out) == _float_lttb(x, y, n_out)
 
 
+@pytest.mark.parametrize("n,n_out", [(120, 24), (300, 50), (5000, 24)])
+def test_lttb_numpy_path_matches_python_path(n, n_out):
+    """r6 kernel parity: the vectorized int64 path and the Python-int
+    fallback select identical indices. Scaling x by 2^24 multiplies every
+    area by the same positive constant (comparisons and ties preserved
+    exactly) while pushing the magnitude bound past the numpy guard, so
+    the scaled call exercises the Python path and must agree with the
+    unscaled (numpy-path) call."""
+    rng = np.random.default_rng(n)
+    x = [int(v) for v in np.cumsum(rng.integers(1, 10_000_000, n))]
+    y = [int(v) for v in rng.integers(-50_000, 50_000, n)]
+    sel_np = _lttb_select(x, y, n_out)
+    sel_py = _lttb_select([v << 24 for v in x], y, n_out)
+    assert sel_np == sel_py
+
+
 def test_lttb_short_series_passthrough():
     x = list(range(10))
     y = list(range(10))
