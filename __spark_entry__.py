@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from insar_spark.operators import series as S
-from insar_spark.sources.events import SERIES_CTE, events_series, load
+from insar_spark.sources.events import (
+    SERIES_CTE,
+    events_series,
+    load,
+    spread_scan,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -1237,7 +1242,7 @@ def q_hist_p95_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffled ~66 longs per raw row at 1-minute sparsity (3.8 s -> 2.0 s
     # at sf1.0, plan: 2 Exchange -> 1; guide §2.3). The stored-tier path
     # (rollup_job --sketch) still builds and cascades the array tier.
-    t = events_series(spark, sf_dir).select("conv_id", "ts", "v")
+    t = spread_scan(events_series(spark, sf_dir).select("conv_id", "ts", "v"))
     return hist_rank_quantiles(
         t, "1h", {"p95_est": 0.95, "p50_est": 0.50}, value_col="v"
     )
@@ -1279,7 +1284,7 @@ def q_hist_p95_global_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly at 1h with no series key and no intermediate keyed tier
     # (one narrow exchange; the cascade/merge identity stays pytest-
     # proven and runs in the store path — guide §2.3/§2.4)
-    t = events_series(spark, sf_dir).select("conv_id", "ts", "v")
+    t = spread_scan(events_series(spark, sf_dir).select("conv_id", "ts", "v"))
     return hist_rank_quantiles(
         t, "1h", {"p95_est": 0.95, "p50_est": 0.50}, value_col="v",
         group_cols=(),
@@ -1330,7 +1335,10 @@ def q_hist_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw-sized shuffle — guide §2.3/§2.4)
     lo, hi, bins = 0.0, 128.0, 32
     t = events_series(spark, sf_dir)
-    g1h = hist_rollup_global(t, "1h", value_col="v", lo=lo, hi=hi, bins=bins)
+    g1h = hist_rollup_global(
+        spread_scan(t.select("conv_id", "ts", "v")), "1h",
+        value_col="v", lo=lo, hi=hi, bins=bins,
+    )
     return g1h.select(
         "window_start",
         F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
@@ -3311,7 +3319,7 @@ def q_distinct_convs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r6 OPT: bit_or is associative — direct 1h build == 1m-then-cascade
     # bit-for-bit, minus one raw-sized exchange (guide §2.4); the cascade
     # stays pytest-proven and runs in the store path
-    b1h = distinct_rollup(ev, "1h")
+    b1h = distinct_rollup(spread_scan(ev), "1h")
     return b1h.select(
         "window_start",
         distinct_set_bits("bitmap").alias("n_set_bits"),
@@ -3362,7 +3370,7 @@ def q_distinct_convs_by_type_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r6 OPT: direct keyed 1h build (bit_or associative, same as the
     # global query — guide §2.4)
-    b1h = distinct_rollup(ev, "1h", group_col="event_type")
+    b1h = distinct_rollup(spread_scan(ev), "1h", group_col="event_type")
     return b1h.select(
         "event_type",
         "window_start",
@@ -3418,6 +3426,7 @@ def q_distinct_saturation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
     )
     # r6 OPT: direct 1h builds for both widths (bit_or associative)
+    ev = spread_scan(ev)
     small = distinct_read_tall(
         distinct_rollup_tall(ev, "1h", m=16),
         m=16,
@@ -3502,7 +3511,9 @@ def q_distinct_hll_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.3 s -> 1.6 s at sf1.0, plan: 3 Exchange -> 2; guide §2.4). The
     # max-merge exactness itself stays pytest-proven (stream==batch and
     # cascade tests), and the stored tier still cascades in rollup_job.
-    return hll_read(hll_rollup(ev, "1h"))
+    # spread_scan parallelizes the single-split scan's md5 projection
+    # (1.6 s -> 0.9 s; see sources.events.spread_scan).
+    return hll_read(hll_rollup(spread_scan(ev), "1h"))
 
 
 def _sql_distinct_hll() -> str:
@@ -3571,7 +3582,7 @@ def q_hot_convs_cms_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The full d*w tier still exists where it belongs: the store path
     # (rollup_job --sketch) builds, cascades and serves it unchanged.
     return cms_probe_inline(
-        spark, ev, _CMS_WATCHLIST, "1h", item_col="conv_id",
+        spark, spread_scan(ev), _CMS_WATCHLIST, "1h", item_col="conv_id",
         item_alias="conv_id",
     )
 
@@ -3648,7 +3659,7 @@ def q_kmv_distinct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minutes (the documented cascade-exactness), so build 1h directly —
     # drops one raw-sized (minute, hash) exchange; the cascade stays
     # pytest-proven and runs in the store path
-    t1h = kmv_rollup(ev, "1h", k=_KMV_Q_K)
+    t1h = kmv_rollup(spread_scan(ev), "1h", k=_KMV_Q_K)
     return t1h.select(
         "window_start",
         F.size("kmv").cast("int").alias("n_sample"),
@@ -3711,7 +3722,7 @@ def q_kmv_overlap_types_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r6 OPT: direct keyed 1d build (union-and-retake exactness; one
     # fewer raw-sized exchange — guide §2.4)
-    t1d = kmv_rollup(ev, "1d", k=_KMV_Q_K, group_col="event_type")
+    t1d = kmv_rollup(spread_scan(ev), "1d", k=_KMV_Q_K, group_col="event_type")
     a = t1d.filter(F.col("event_type") == "click").select(
         "window_start", F.col("kmv").alias("kmv_a")
     )
@@ -3755,7 +3766,7 @@ def q_kmv_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    t1d = kmv_rollup(ev, "1d", k=_KMV_Q_K)
+    t1d = kmv_rollup(spread_scan(ev), "1d", k=_KMV_Q_K)
     prev = t1d.select(
         F.col("window_start").alias("day_prev"),
         F.col("kmv").alias("kmv_a"),
