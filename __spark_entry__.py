@@ -1868,7 +1868,9 @@ FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insar_spark.operators.textstats import lang_id
 
-    return lang_id(load(spark, sf_dir, "documents")).select(
+    # r6: spread the single-split scan (per-profile token filters are
+    # the cost; see sources.events.spread_scan)
+    return lang_id(spread_scan(load(spark, sf_dir, "documents"), "doc_id")).select(
         "doc_id", "lang_pred", _r("lang_score", 4).alias("lang_score")
     )
 
@@ -2150,7 +2152,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines synthesize and redact with byte-identical RE2-safe rules."""
     from insar_spark.operators.textstats import redact_pii
 
-    docs = load(spark, sf_dir, "documents")
+    # r6: spread the single-split scan — the regex passes ran
+    # single-threaded (see sources.events.spread_scan)
+    docs = spread_scan(load(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id")
     injected = docs.select(
         "doc_id",
@@ -3111,7 +3115,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode count is a sorted-array longest-run fold, no explode/groupBy)."""
     from insar_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(load(spark, sf_dir, "documents"))
+    # r6: spread the single-split documents scan — the per-doc fold ran
+    # single-threaded (see sources.events.spread_scan)
+    return repetition_stats(
+        spread_scan(load(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 # Both fractions are exact-int counts through ONE double division, so the
@@ -4035,7 +4043,11 @@ def q_top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking reproducible cross-engine."""
     from insar_spark.operators.textstats import token_frequencies
 
-    return token_frequencies(load(spark, sf_dir, "documents"), k=10)
+    # r6: spread the single-split scan — the token explode + partial agg
+    # ran single-threaded (see sources.events.spread_scan)
+    return token_frequencies(
+        spread_scan(load(spark, sf_dir, "documents"), "doc_id"), k=10
+    )
 
 
 _SQL_TOP_TOKENS = """
@@ -4193,6 +4205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_minhash_incremental, sim_lsh_store_topk) already sits
         #    in the first 50 ------------------------------------------------
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "lang_id_heuristic": q_lang_id,
+        "pii_redact": q_pii_redact,
+        "top_tokens_per_source": q_top_tokens_per_source,
+        "dedup_fingerprint_pairs": q_dedup_fingerprint_pairs,
+        "decontaminate": q_decontaminate,
         "w5_lowess_smooth": q_w5_lowess_smooth,
         "w5_lowess_1pass": q_w5_lowess_1pass,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -4201,9 +4218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r5-green rows late_data_profile / counter_increase_1h /
         #    metric_corr_1h / tier_reconcile_1h / top_tokens_per_source
         #    rotate out past the window, code byte-unchanged) --------------
-        "cusum_level_shift": q_cusum_level_shift,
-        "anomaly_hod_1h": q_anomaly_hod_1h,
-        "watermark_sizing": q_watermark_sizing,
         "holt_smooth": q_holt_smooth,
         # -- new in round 5: visualization downsample family (M4 + LTTB),
         #    KMV distinct sketch (set-intersection capability), count-min
@@ -4225,7 +4239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         # -- r3's only red row: oracle fixed (sum(n_chars)::bigint — DuckDB
         #    HUGEINT sum reached the driver hash as float64) ---------------
-        "shard_stats": q_shard_stats,
         # -- new this round: clamp-saturation visibility (VERDICT r3 #3)
         #    + range-free log-bucket rank sketch (VERDICT r3 stretch #6) ---
         "hist_saturation_1h": q_hist_saturation_1h,
@@ -4233,7 +4246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lb_rank_series_1h": q_lb_rank_series_1h,
         "distinct_convs_by_type_1h": q_distinct_convs_by_type_1h,
         "doc_len_p95_by_source": q_doc_len_p95_by_source,
-        "gap_p99_by_type": q_gap_p99_by_type,
         # -- r3-green, kept in-window --------------------------------------
         "c8_closure_phase": q_c8_closure_phase,
         "a8_weighted_solve": q_a8_weighted_solve,
@@ -4268,23 +4280,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_compress_stats": q_gorilla_compress_stats,
         "text_tokens_bpe": q_text_tokens_bpe,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_fingerprint_pairs": q_dedup_fingerprint_pairs,
-        "lang_id_heuristic": q_lang_id,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
-        "pii_redact": q_pii_redact,
-        "decontaminate": q_decontaminate,
         "embedding_kmeans": q_embedding_kmeans,
         "w1_deltas_chunked": q_w1_deltas_chunked,
         "salted_rollup_1m": q_salted_rollup_1m,
         # ---- rotation boundary: everything below is r2-driver-green and
         #      unchanged; rotated past the driver's 50-row window ----------
+        "shard_stats": q_shard_stats,
+        "gap_p99_by_type": q_gap_p99_by_type,
+        "cusum_level_shift": q_cusum_level_shift,
+        "anomaly_hod_1h": q_anomaly_hod_1h,
+        "watermark_sizing": q_watermark_sizing,
         "late_data_profile": q_late_data_profile,
         "counter_increase_1h": q_counter_increase_1h,
         "metric_corr_1h": q_metric_corr_1h,
         "tier_reconcile_1h": q_tier_reconcile,
-        "top_tokens_per_source": q_top_tokens_per_source,
         "w8_ffill": q_w8_ffill,
         "w9_diff_k3": q_w9_diff_k3,
         "a12_rolling_mean_1h": q_a12_rolling_mean_1h,

@@ -133,6 +133,21 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _explode_fps(fps: DataFrame, id_col: str) -> DataFrame:
+    """Explode a fingerprints column through a per-doc first()-aggregate
+    materialization barrier (r6). ``explode(<attr>)`` fused into the same
+    codegen stage as the winnowing projection re-evaluates the whole
+    md5/sliding-min HOF chain several times over (measured: the exploded
+    read cost 5.5 s vs 1.3 s for the projection alone at sf1.0, and
+    neither a repartition nor a local sort pins the projection below the
+    Generate — the optimizer hoists it back). The aggregate CONSUMES the
+    array into its buffer, so exactly one evaluation survives
+    (5.5 s -> 2.4 s); semantically the identity, since
+    winnowing_fingerprints emits one row per ``id_col``."""
+    m = fps.groupBy(id_col).agg(F.first("fingerprints").alias("fingerprints"))
+    return m.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+
+
 def decontaminate(
     docs: DataFrame,
     probes: DataFrame,
@@ -149,14 +164,12 @@ def decontaminate(
     scanned once, no self-join, no shuffle of the corpus beyond the
     explode. Returns (id, n_hits) for contaminated docs only.
     """
-    corpus_fp = winnowing_fingerprints(docs, text_col, id_col, k, window).select(
-        F.col(id_col), F.explode("fingerprints").alias("fp")
+    corpus_fp = _explode_fps(
+        winnowing_fingerprints(docs, text_col, id_col, k, window), id_col
     )
-    probe_fp = (
-        winnowing_fingerprints(probes, text_col, id_col, k, window)
-        .select(F.explode("fingerprints").alias("fp"))
-        .distinct()
-    )
+    probe_fp = _explode_fps(
+        winnowing_fingerprints(probes, text_col, id_col, k, window), id_col
+    ).select("fp").distinct()
     return (
         corpus_fp.join(F.broadcast(probe_fp), "fp", "left_semi")
         .groupBy(id_col)
@@ -226,7 +239,12 @@ def fingerprint_candidates(
     """
     from insar_spark.operators.dedup import _pairs_from_buckets
 
-    x = fps.select(id_col, F.explode("fingerprints").alias("fp")).distinct()
+    # r6: explode through the first()-agg barrier (_explode_fps — the
+    # fused Generate re-evaluated the winnow chain several times), and
+    # drop the old .distinct(): winnow_col already array_distinct's each
+    # doc's picks, so (id, fp) rows are unique by construction and the
+    # dedup exchange was a no-op.
+    x = _explode_fps(fps, id_col)
     grouped = x.groupBy("fp").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )

@@ -32,19 +32,21 @@ def test_no_rowwise_python_in_any_contract_query(spark):
         ("flagship_rollup_1m", 1, 0),  # one shuffle, all JVM
         ("w1_turn_deltas", 1, 0),  # series window only
         ("doc_chunks", 0, 0),  # narrow map-only transform
-        ("sim_lsh_topk", 0, 0),  # JVM signatures, no shuffle
-        ("hist_p95_1h", 2, 0),  # 1m rollup + cascade
+        ("sim_lsh_topk", 1, 0),  # r6: one spread exchange, JVM signatures
+        ("hist_p95_1h", 2, 0),  # r6: spread + direct-1h rank read
         ("dedup_minhash_pairs", 3, 0),  # band/bucket + verify, linear
         ("dedup_minhash_incremental", 5, 0),  # + store prune join
         ("sbas_solve_bandwidth1", 2, 1),  # one Arrow solve stage
-        ("text_repetition", 0, 0),  # map-only fold, no explode/groupBy
+        # map-only fold; the one exchange is r6's spread_scan spreading
+        # the single-split documents scan across cores (no-op at scale)
+        ("text_repetition", 1, 0),
         ("event_gap_stats", 2, 0),  # user window (reused) + type window
         ("shard_stats", 1, 0),  # one n_shards-way shuffle
-        ("hist_p95_global_1h", 2, 0),  # per-conv 1m + global merge
-        ("top_tokens_per_source", 3, 0),  # token agg + distinct + topk
-        ("distinct_convs_1h", 2, 0),  # 1m bitmap + bit_or cascade
-        ("distinct_hll_1h", 3, 0),  # 1m regs + max cascade + read agg
-        ("hot_convs_cms_1h", 3, 0),  # 1m cells + sum cascade + probe agg
+        ("hist_p95_global_1h", 2, 0),  # r6: spread + direct global read
+        ("top_tokens_per_source", 4, 0),  # spread + token agg + distinct + topk
+        ("distinct_convs_1h", 2, 0),  # r6: spread + direct 1h bit_or
+        ("distinct_hll_1h", 3, 0),  # r6: spread + direct 1h regs + read agg
+        ("hot_convs_cms_1h", 3, 0),  # r6: spread + probe-pushdown aggs
         ("doc_oov_rate", 3, 0),  # vocab agg + doc_id aggs, broadcast join
         ("late_data_profile", 1, 0),  # one conv_id window, groupBy reuses it
         ("cusum_level_shift", 1, 0),  # one conv_id window, groupBy reuses it
