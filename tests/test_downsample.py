@@ -77,7 +77,7 @@ def test_lttb_numpy_path_matches_python_path(n, n_out):
     rng = np.random.default_rng(n)
     x = [int(v) for v in np.cumsum(rng.integers(1, 10_000_000, n))]
     y = [int(v) for v in rng.integers(-50_000, 50_000, n)]
-    sel_np = _lttb_select(x, y, n_out)
+    sel_np = _lttb_select(x, y, n_out, np_min=0)  # force the numpy path
     sel_py = _lttb_select([v << 24 for v in x], y, n_out)
     assert sel_np == sel_py
 
