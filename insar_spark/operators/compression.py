@@ -45,17 +45,31 @@ def compress_series(
 
     from insar_spark.functions.gorilla import encode_timestamps, encode_values
 
-    def _encode_group(g: pd.DataFrame) -> dict:
-        ts = g[ts_col].to_numpy("datetime64[us]").astype("int64")
-        vals = g[value_col].to_numpy(dtype="float64")
-        return {
-            "conv_id": g[key].iloc[0],
-            "n_points": len(ts),
-            "ts_blob": encode_timestamps(ts),
-            "v_blob": encode_values(vals),
-            "ts_min": g[ts_col].iloc[0],
-            "ts_max": g[ts_col].iloc[-1],
-        }
+    def _encode_chunk(chunk: pd.DataFrame) -> pd.DataFrame:
+        # columnar accumulation (r6): one output frame per chunk instead
+        # of one dict->row per series — same rows, same order
+        cols: dict[str, list] = {k: [] for k in (
+            "conv_id", "n_points", "ts_blob", "v_blob", "ts_min", "ts_max"
+        )}
+        for _, g in chunk.groupby(key, sort=False):
+            ts = g[ts_col].to_numpy("datetime64[us]").astype("int64")
+            vals = g[value_col].to_numpy(dtype="float64")
+            cols["conv_id"].append(g[key].iloc[0])
+            cols["n_points"].append(len(ts))
+            cols["ts_blob"].append(encode_timestamps(ts))
+            cols["v_blob"].append(encode_values(vals))
+            cols["ts_min"].append(g[ts_col].iloc[0])
+            cols["ts_max"].append(g[ts_col].iloc[-1])
+        return pd.DataFrame(
+            {
+                "conv_id": cols["conv_id"],
+                "n_points": np.asarray(cols["n_points"], dtype="int32"),
+                "ts_blob": pd.Series(cols["ts_blob"], dtype=object),
+                "v_blob": pd.Series(cols["v_blob"], dtype=object),
+                "ts_min": cols["ts_min"],
+                "ts_max": cols["ts_max"],
+            }
+        )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -66,11 +80,9 @@ def compress_series(
             head = pdf[pdf[key] != last_key]
             carry = pdf[pdf[key] == last_key]
             if len(head):
-                yield pd.DataFrame(
-                    [_encode_group(g) for _, g in head.groupby(key, sort=False)]
-                )
+                yield _encode_chunk(head)
         if carry is not None and len(carry):
-            yield pd.DataFrame([_encode_group(carry)])
+            yield _encode_chunk(carry)
 
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (

@@ -223,21 +223,20 @@ def lttb_downsample(
     order = order_cols if order_cols is not None else ["turn_idx"]
     schema = f"{KEY} string, sel_idx int, ts timestamp, {value_col} double"
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
+    def pick(pdf: pd.DataFrame):
+        # rows arrive sorted by ``order`` (keyed_map's partition-level
+        # sort) — the per-group re-sort this kernel used to do was a
+        # no-op costing ~0.5 ms/group (r6, guide §4)
         ts = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
         x = [int(t - ts[0]) for t in ts]
         y = [int(v) for v in np.round(pdf[value_col].to_numpy() * 100)]
         sel = _lttb_select(x, y, n_out)
-        take = pdf.iloc[sel]
-        return pd.DataFrame(
-            {
-                KEY: take[KEY].to_numpy(),
-                "sel_idx": np.arange(len(sel), dtype="int32"),
-                "ts": take["ts"].to_numpy(),
-                value_col: take[value_col].to_numpy(),
-            }
-        )
+        return {
+            KEY: pdf[KEY].to_numpy()[sel],
+            "sel_idx": np.arange(len(sel), dtype="int32"),
+            "ts": pdf["ts"].to_numpy()[sel],
+            value_col: pdf[value_col].to_numpy()[sel],
+        }
 
     from insar_spark.operators.batched import keyed_map
 

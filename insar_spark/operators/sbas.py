@@ -100,14 +100,17 @@ def invert_pairs(
             scale=scale,
             l1=l1,
         )
-        return pd.DataFrame(
-            {
-                KEY: pdf[KEY].iloc[0],
-                "date_num": date_nums,
-                "phase": phases,
-                "temporal_coherence": coh,
-            }
-        )
+        # columnar return (r6): scalars broadcast to the sized columns —
+        # skips the per-group DataFrame construction in keyed_map
+        return {
+            KEY: pdf[KEY].iloc[0],
+            "date_num": date_nums,
+            "phase": phases,
+            "temporal_coherence": (
+                np.broadcast_to(coh, np.shape(phases)) if np.ndim(coh) == 0
+                else coh
+            ),
+        }
 
     # batched per-key execution: fleets of small series share one Arrow
     # invocation instead of paying per-group serde (operators.batched)

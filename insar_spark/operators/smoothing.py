@@ -55,21 +55,21 @@ def lowess_smooth(
         "turn_idx" if "turn_idx" in df.columns else None
     )
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", tie]) if tie else pdf.sort_values("ts")
+    def smooth(pdf: pd.DataFrame):
+        # rows arrive sorted by keyed_map's partition-level (ts, tie)
+        # sort — no per-group re-sort needed (r6, guide §4); the columnar
+        # return skips the per-group DataFrame build
         x = _day_nums(pdf["ts"])
         y = pdf[value_col].to_numpy(dtype="float64")
         sm = lowess_xy(x, y, min_x_weighted=min_span_days, it=it)
         if subtract_first and len(sm):
             sm = sm - sm[0]
-        return pd.DataFrame(
-            {
-                KEY: pdf[KEY].to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                value_col: y,
-                "smooth": sm,
-            }
-        )
+        return {
+            KEY: pdf[KEY].to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            value_col: y,
+            "smooth": sm,
+        }
 
     from insar_spark.operators.batched import keyed_map
 

@@ -108,3 +108,69 @@ def test_compress_series_batch_boundary_carry(spark, transcripts):
         assert normal.loc[cid, "n_points"] == tiny.loc[cid, "n_points"], cid
         assert bytes(normal.loc[cid, "ts_blob"]) == bytes(tiny.loc[cid, "ts_blob"])
         assert bytes(normal.loc[cid, "v_blob"]) == bytes(tiny.loc[cid, "v_blob"])
+
+
+# ---------------------------------------------------------------- r6 parity
+# The r6 vectorized encoders / buffered decoders must be BYTE-identical to
+# the original bit-at-a-time implementations (kept as _*_py): the blob is a
+# cross-stage contract (compress_series -> invert_blobs/decompress_series).
+
+from insar_spark.functions.gorilla import (  # noqa: E402
+    _decode_timestamps_py,
+    _decode_values_py,
+    _encode_timestamps_py,
+    _encode_values_py,
+)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_timestamp_encoder_parity(ts):
+    arr = np.array(ts, dtype=np.int64)
+    enc = encode_timestamps(arr)
+    assert enc == _encode_timestamps_py(arr)
+    np.testing.assert_array_equal(
+        decode_timestamps(enc), _decode_timestamps_py(enc)
+    )
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_value_encoder_parity(vals):
+    arr = np.array(vals, dtype=np.float64)
+    enc = encode_values(arr)
+    assert enc == _encode_values_py(arr)
+    np.testing.assert_array_equal(
+        decode_values(enc).view(np.uint64),
+        _decode_values_py(enc).view(np.uint64),
+    )
+
+
+def test_long_blob_fast_path_parity():
+    # > 512-byte blobs take the buffered word-reader path; the vectorized
+    # ts encoder falls back to the exact-int path past the 2^61 bound
+    rng = np.random.default_rng(3)
+    ts = np.cumsum(rng.integers(1, 10**9, 5000)).astype(np.int64)
+    vs = np.round(rng.gamma(2.0, 60.0, 5000), 2)
+    tb, vb = encode_timestamps(ts), encode_values(vs)
+    assert tb == _encode_timestamps_py(ts)
+    assert vb == _encode_values_py(vs)
+    np.testing.assert_array_equal(decode_timestamps(tb), ts)
+    np.testing.assert_array_equal(decode_values(vb), vs)
+    big = rng.integers(-(2**62), 2**62, 1000).astype(np.int64)
+    assert encode_timestamps(big) == _encode_timestamps_py(big)
+    np.testing.assert_array_equal(
+        decode_timestamps(encode_timestamps(big)), big
+    )
