@@ -4250,9 +4250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_closure_phase": q_c8_closure_phase,
         "a8_weighted_solve": q_a8_weighted_solve,
         "sbas_solve_from_blobs": q_sbas_solve_from_blobs,
-        "w10_rolling_rows": q_w10_rolling_rows,
-        "a5_e3_mask_stats": q_a5_e3_mask_stats,
-        "stratified_sample": q_stratified_sample,
+        # -- r6 second pass: these three run through code touched by the
+        #    keyed_map columnar protocol / Gorilla codec work (invert_pairs,
+        #    resample_spline, compress+decompress), so they rotate into the
+        #    window; w10_rolling_rows / a5_e3_mask_stats / stratified_sample
+        #    (r5-green, byte-unchanged in r6) rotate out in exchange --------
+        "sbas_solve_bandwidth1": q_sbas_solve_bandwidth1,
+        "w7_gapfill_spline": q_w7_gapfill_spline,
+        "gorilla_compress_stats": q_gorilla_compress_stats,
         "j6_asof_join": q_j6_asof_join,
         "a9_l1_solve": q_a9_l1_solve,
         "detrend_linear": q_detrend_linear,
@@ -4274,10 +4279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "w7_gapfill_linear_1d": q_w7_gapfill_linear_1d,
         "a10_polyfit_deg1": q_a10_polyfit_deg1,
-        "sbas_solve_bandwidth1": q_sbas_solve_bandwidth1,
+        "w10_rolling_rows": q_w10_rolling_rows,
         "w6_temporal_filter": q_w6_temporal_filter,
-        "w7_gapfill_spline": q_w7_gapfill_spline,
-        "gorilla_compress_stats": q_gorilla_compress_stats,
+        "a5_e3_mask_stats": q_a5_e3_mask_stats,
+        "stratified_sample": q_stratified_sample,
         "text_tokens_bpe": q_text_tokens_bpe,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_ivf_topk": q_sim_ivf_topk,
