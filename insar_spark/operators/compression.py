@@ -99,20 +99,23 @@ def decompress_series(blobs: DataFrame) -> DataFrame:
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
+            # columnar accumulation (r6): flat per-column parts, one frame
+            # per batch — not one frame per blob row
+            keys: list[str] = []
+            ts_parts, v_parts = [], []
             for row in pdf.itertuples(index=False):
                 ts = decode_timestamps(bytes(row.ts_blob))
                 vals = decode_values(bytes(row.v_blob))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "ts": ts.astype("datetime64[us]"),
-                            "v": vals,
-                        }
-                    )
+                keys.extend([row.conv_id] * len(ts))
+                ts_parts.append(ts.astype("datetime64[us]"))
+                v_parts.append(vals)
+            if keys:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": keys,
+                        "ts": np.concatenate(ts_parts),
+                        "v": np.concatenate(v_parts),
+                    }
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     return blobs.mapInPandas(unpack, schema="conv_id string, ts timestamp, v double")
