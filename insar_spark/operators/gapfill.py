@@ -203,20 +203,19 @@ def resample_spline(
     schema = f"{key} string, grid_ts timestamp, v_filled double, is_observed boolean"
     step = interval_sec * 1_000_000
 
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("grid_ts")
+    def fill(pdf: pd.DataFrame):
+        # rows arrive sorted by grid_ts (keyed_map's partition-level
+        # sort); columnar return skips the per-group DataFrame build (r6)
         x = pdf["grid_ts"].to_numpy("datetime64[us]").astype("int64")
         y = pdf["v"].to_numpy(dtype="float64")
         xq = np.arange(x[0], x[-1] + step, step)
         vq = spline_eval(x.astype("float64"), y, xq.astype("float64"))
-        return pd.DataFrame(
-            {
-                key: pdf[key].iloc[0],
-                "grid_ts": xq.astype("datetime64[us]"),
-                "v_filled": vq,
-                "is_observed": np.isin(xq, x),
-            }
-        )
+        return {
+            key: pdf[key].iloc[0],
+            "grid_ts": xq.astype("datetime64[us]"),
+            "v_filled": vq,
+            "is_observed": np.isin(xq, x),
+        }
 
     from insar_spark.operators.batched import keyed_map
 

@@ -181,7 +181,7 @@ def polyfit_series(
     schema = f"{KEY} string, coeffs array<double>, resid_std double, n int"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
+        # rows arrive sorted by ts (keyed_map contract)
         x = _day_nums(pdf["ts"])
         y = pdf[value_col].to_numpy(dtype="float64")
         mask = ~np.isnan(y)
